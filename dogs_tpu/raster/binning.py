@@ -1,0 +1,171 @@
+"""Tile binning: duplicate Gaussians into per-tile depth-sorted lists.
+
+TPU-native equivalent of the CUDA binning stage
+(cuda_rasterizer/rasterizer_impl.cu:120-232: InclusiveSum -> duplicateWithKeys
+-> RadixSort -> identifyTileRanges). CUDA builds a ragged [tileID|depth] key
+list with cub; XLA needs static shapes, so here every Gaussian owns a fixed
+budget of MAX_TILES_PER_GAUSSIAN candidate (tile, depth) keys:
+
+  * the tile rect around each projected Gaussian is clamped to the budget
+    (large Gaussians keep the tiles nearest their center);
+  * per-tile max-alpha culling (the Taming-3DGS trick in
+    rasterizer_impl.cu:120-190) drops keys whose best-case alpha inside the
+    tile is below 1/255, which removes most of the budget waste;
+  * invalid keys get a sentinel tile id and sort to the end;
+  * one `jax.lax.sort` over (tile, depth) keys replaces the radix sort;
+  * tile ranges come from `searchsorted` instead of identifyTileRanges.
+
+Everything is static-shaped and fuses into a handful of XLA ops.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from dogs_tpu.raster.projection import ALPHA_MIN, ProjectedGaussians
+
+
+@flax.struct.dataclass
+class TileBins:
+    """Sorted splat lists per tile. M = N * max_tiles_per_gaussian."""
+
+    sorted_idx: jnp.ndarray  # (M,) gaussian index per entry (depth-sorted per tile)
+    tile_starts: jnp.ndarray  # (n_tiles + 1,) range offsets into sorted_idx
+    num_valid: jnp.ndarray  # () total valid entries (diagnostics)
+    num_truncated: jnp.ndarray  # () gaussians whose rect exceeded the budget
+
+
+def _tile_rect(
+    means2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    n_tiles_x: int,
+    n_tiles_y: int,
+    tile_size: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-Gaussian touched tile rectangle (auxiliary.h getRect)."""
+    x, y = means2d[:, 0], means2d[:, 1]
+    tx0 = jnp.clip(jnp.floor((x - radius) / tile_size), 0, n_tiles_x).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((y - radius) / tile_size), 0, n_tiles_y).astype(jnp.int32)
+    tx1 = jnp.clip(
+        jnp.floor((x + radius) / tile_size) + 1, 0, n_tiles_x
+    ).astype(jnp.int32)
+    ty1 = jnp.clip(
+        jnp.floor((y + radius) / tile_size) + 1, 0, n_tiles_y
+    ).astype(jnp.int32)
+    return tx0, ty0, tx1, ty1
+
+
+def build_tile_bins(
+    proj: ProjectedGaussians,
+    height: int,
+    width: int,
+    tile_size: int = 16,
+    max_tiles_per_gaussian: int = 25,
+    tile_culling: bool = True,
+) -> TileBins:
+    """Bin projected Gaussians into per-tile depth-ordered index lists."""
+    n_tiles_x = -(-width // tile_size)
+    n_tiles_y = -(-height // tile_size)
+    n_tiles = n_tiles_x * n_tiles_y
+    sentinel = jnp.int32(n_tiles)
+
+    n = proj.means2d.shape[0]
+    mt = max_tiles_per_gaussian
+    visible = proj.radius > 0.0
+
+    tx0, ty0, tx1, ty1 = _tile_rect(
+        proj.means2d, proj.radius, n_tiles_x, n_tiles_y, tile_size
+    )
+    rect_w = tx1 - tx0
+    rect_h = ty1 - ty0
+    truncated = visible & ((rect_w * rect_h) > mt)
+
+    # Clamp the rect to the key budget, keeping it centered on the Gaussian.
+    # Budget split: width first, then height gets the remaining rows.
+    bw = jnp.minimum(rect_w, mt)
+    bh = jnp.minimum(rect_h, jnp.maximum(mt // jnp.maximum(bw, 1), 1))
+    # Re-balance toward square-ish coverage when both axes overflow.
+    side = jnp.int32(max(int(mt**0.5), 1))
+    both_over = (rect_w > side) & (rect_h > side)
+    bw = jnp.where(both_over, jnp.minimum(rect_w, side), bw)
+    bh = jnp.where(both_over, jnp.minimum(rect_h, mt // jnp.maximum(bw, 1)), bh)
+
+    ctx = jnp.clip(
+        (proj.means2d[:, 0] / tile_size).astype(jnp.int32), 0, n_tiles_x - 1
+    )
+    cty = jnp.clip(
+        (proj.means2d[:, 1] / tile_size).astype(jnp.int32), 0, n_tiles_y - 1
+    )
+    sx0 = jnp.clip(ctx - bw // 2, tx0, jnp.maximum(tx1 - bw, tx0))
+    sy0 = jnp.clip(cty - bh // 2, ty0, jnp.maximum(ty1 - bh, ty0))
+
+    # Enumerate the budget: entry j of gaussian i covers tile
+    # (sy0 + j // bw, sx0 + j % bw) while j < bw * bh.
+    j = jnp.arange(mt, dtype=jnp.int32)[None, :]  # (1, mt)
+    bw_ = jnp.maximum(bw, 1)[:, None]
+    jy = j // bw_
+    jx = j - jy * bw_
+    tix = sx0[:, None] + jx
+    tiy = sy0[:, None] + jy
+    valid = (j < (bw * bh)[:, None]) & visible[:, None]
+
+    if tile_culling:
+        # Taming-3DGS style per-tile culling: max achievable alpha inside the
+        # tile must exceed 1/255. Closest point of the tile's pixel rect to
+        # the Gaussian center bounds the quadratic from below.
+        px0 = tix.astype(jnp.float32) * tile_size
+        py0 = tiy.astype(jnp.float32) * tile_size
+        cx = jnp.clip(proj.means2d[:, 0:1], px0, px0 + tile_size - 1)
+        cy = jnp.clip(proj.means2d[:, 1:2], py0, py0 + tile_size - 1)
+        dx = cx - proj.means2d[:, 0:1]
+        dy = cy - proj.means2d[:, 1:2]
+        a, b, c = proj.conic[:, 0:1], proj.conic[:, 1:2], proj.conic[:, 2:3]
+        # Evaluate at the clamped point; conservative because the true
+        # minimizer of the quadratic over the rect may differ when b != 0 —
+        # pad by evaluating the axis-aligned bound too.
+        q1 = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+        q2 = 0.5 * (a * dx * dx + c * dy * dy) - jnp.abs(b * dx * dy)
+        q = jnp.maximum(jnp.minimum(q1, q2), 0.0)
+        max_alpha = proj.opacity[:, None] * jnp.exp(-q)
+        valid = valid & (max_alpha >= ALPHA_MIN)
+
+    tile_key = jnp.where(valid, tiy * n_tiles_x + tix, sentinel).reshape(-1)
+    depth_key = jnp.broadcast_to(proj.depth[:, None], (n, mt)).reshape(-1)
+    payload = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, mt)
+    ).reshape(-1)
+
+    sorted_tile, _, sorted_idx = jax.lax.sort(
+        (tile_key, depth_key, payload), num_keys=2
+    )
+    tile_starts = jnp.searchsorted(
+        sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    return TileBins(
+        sorted_idx=sorted_idx,
+        tile_starts=tile_starts,
+        num_valid=jnp.sum(valid.astype(jnp.int32)),
+        num_truncated=jnp.sum(truncated.astype(jnp.int32)),
+    )
+
+
+def bins_membership(bins: TileBins, n_gaussians: int) -> jnp.ndarray:
+    """(n_tiles, N) bool: which Gaussians were binned to each tile.
+
+    Test-support utility: lets the naive oracle renderer apply exactly the
+    same tile-granular support as the production pipeline, so oracle-vs-tiled
+    comparisons are exact rather than bounded by the 3-sigma rect cutoff.
+    """
+    n_tiles = bins.tile_starts.shape[0] - 1
+    m = bins.sorted_idx.shape[0]
+    entry = jnp.arange(m, dtype=jnp.int32)
+    entry_tile = (
+        jnp.searchsorted(bins.tile_starts, entry, side="right").astype(jnp.int32) - 1
+    )
+    entry_tile = jnp.clip(entry_tile, 0, n_tiles)  # invalid tail -> row n_tiles
+    member = jnp.zeros((n_tiles + 1, n_gaussians), bool)
+    member = member.at[entry_tile, bins.sorted_idx].set(True)
+    return member[:n_tiles]

@@ -1,0 +1,20 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Tests must not depend on TPU hardware: we force the CPU backend with 8
+virtual devices so distributed (mesh/ADMM) paths are exercised single-host,
+per SURVEY.md §4 tier 5.  Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# Test assertions do exact-ish f32 comparisons; don't let test-side matmuls
+# silently run at bf16 precision.
+jax.config.update("jax_default_matmul_precision", "highest")

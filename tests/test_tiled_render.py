@@ -1,0 +1,164 @@
+"""Tiled production rasterizer vs the naive oracle (SURVEY.md §4 tier 2).
+
+Forward images must match to float tolerance, and the hand-written VJP must
+match `jax.grad` of the oracle renderer. The oracle gets the production
+pipeline's tile membership so both renderers blend the exact same splat sets
+(the tiled path, like the CUDA kernel, limits support to 3-sigma tile rects).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dogs_tpu.core import GaussianParams, inverse_sigmoid, look_at_camera, rgb_to_sh
+from dogs_tpu.raster.binning import bins_membership, build_tile_bins
+from dogs_tpu.raster.projection import project_gaussians
+from dogs_tpu.raster.reference import render_reference
+from dogs_tpu.raster.tiled import RasterConfig, render_tiled
+
+CFG = RasterConfig(tile_size=16, max_tiles_per_gaussian=36, tile_batch=8, chunk=16)
+
+
+def random_scene(n=64, seed=0, max_sh_degree=2, spread=1.2, w=72, h=56):
+    rng = np.random.RandomState(seed)
+    k = (max_sh_degree + 1) ** 2
+    xyz = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    rgb = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32)
+    params = GaussianParams(
+        xyz=jnp.asarray(xyz),
+        feat_dc=rgb_to_sh(jnp.asarray(rgb))[:, None, :],
+        feat_rest=jnp.asarray(rng.randn(n, k - 1, 3).astype(np.float32) * 0.05),
+        log_scale=jnp.asarray(
+            np.log(rng.uniform(0.05, 0.35, (n, 3))).astype(np.float32)
+        ),
+        quat=jnp.asarray(rng.randn(n, 4).astype(np.float32)),
+        logit_opacity=inverse_sigmoid(
+            jnp.asarray(rng.uniform(0.2, 0.95, (n, 1)).astype(np.float32))
+        ),
+    )
+    cam = look_at_camera(
+        eye=[0.3, -0.2, -4.0], target=[0.0, 0.0, 0.0], up=[0.0, -1.0, 0.0],
+        fx=70.0, fy=70.0, width=w, height=h,  # not tile-aligned on purpose
+    )
+    return params, cam
+
+
+def membership_for(params, cam, cfg, aa=False, offset=None):
+    proj = project_gaussians(
+        params, cam, active_sh_degree=2, antialiasing=aa, means2d_offset=offset
+    )
+    bins = build_tile_bins(
+        proj,
+        cam.height,
+        cam.width,
+        tile_size=cfg.tile_size,
+        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        tile_culling=cfg.tile_culling,
+    )
+    return bins_membership(bins, params.capacity)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("aa", [False, True])
+def test_tiled_matches_reference_forward(seed, aa):
+    params, cam = random_scene(seed=seed)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    cfg = RasterConfig(
+        tile_size=CFG.tile_size,
+        max_tiles_per_gaussian=CFG.max_tiles_per_gaussian,
+        tile_batch=CFG.tile_batch,
+        chunk=CFG.chunk,
+        antialiasing=aa,
+    )
+    member = membership_for(params, cam, cfg, aa=aa)
+    ref = render_reference(
+        params, cam, background=bg, active_sh_degree=2, antialiasing=aa,
+        tile_membership=member, tile_size=cfg.tile_size,
+    )
+    out = render_tiled(params, cam, cfg, background=bg, active_sh_degree=2)
+    np.testing.assert_allclose(out.image, ref.image, atol=3e-4)
+    np.testing.assert_allclose(out.alpha, ref.alpha, atol=3e-4)
+    np.testing.assert_allclose(out.invdepth, ref.invdepth, atol=3e-4)
+    np.testing.assert_allclose(out.radii, ref.radii)
+
+
+def test_tiled_close_to_unmasked_reference():
+    # Without membership masking the difference is bounded by the 3-sigma
+    # rect cutoff (alpha just outside the rect can reach ~0.01).
+    params, cam = random_scene(seed=7)
+    ref = render_reference(params, cam, active_sh_degree=2)
+    out = render_tiled(params, cam, CFG, active_sh_degree=2)
+    assert np.abs(np.asarray(out.image) - np.asarray(ref.image)).max() < 0.05
+
+
+def test_tiled_matches_reference_grads():
+    params, cam = random_scene(n=48, seed=2)
+    bg = jnp.asarray([0.05, 0.05, 0.05])
+    rng = np.random.RandomState(3)
+    target = jnp.asarray(rng.rand(cam.height, cam.width, 3).astype(np.float32))
+    member = membership_for(params, cam, CFG)
+
+    def loss_ref(p, offset):
+        out = render_reference(
+            p, cam, background=bg, active_sh_degree=2, means2d_offset=offset,
+            tile_membership=member, tile_size=CFG.tile_size,
+        )
+        return (
+            jnp.sum((out.image - target) ** 2)
+            + 0.3 * jnp.sum(out.alpha**2)
+            + 0.1 * jnp.sum(out.invdepth**2)
+        )
+
+    def loss_tiled(p, offset):
+        out = render_tiled(
+            p, cam, CFG, background=bg, active_sh_degree=2, means2d_offset=offset
+        )
+        return (
+            jnp.sum((out.image - target) ** 2)
+            + 0.3 * jnp.sum(out.alpha**2)
+            + 0.1 * jnp.sum(out.invdepth**2)
+        )
+
+    offset0 = jnp.zeros((48, 2))
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, offset0)
+    g_tiled = jax.grad(loss_tiled, argnums=(0, 1))(params, offset0)
+
+    for name in ["xyz", "feat_dc", "feat_rest", "log_scale", "quat", "logit_opacity"]:
+        a = np.asarray(getattr(g_tiled[0], name))
+        b = np.asarray(getattr(g_ref[0], name))
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-3, err_msg=name)
+    # Screen-space gradients (densification signal).
+    a, b = np.asarray(g_tiled[1]), np.asarray(g_ref[1])
+    scale = np.abs(b).max() + 1e-6
+    np.testing.assert_allclose(a / scale, b / scale, atol=1e-3)
+
+
+def test_tiled_background_grad():
+    params, cam = random_scene(n=16, seed=4)
+    member = membership_for(params, cam, CFG)
+
+    def loss_ref(bg):
+        out = render_reference(
+            params, cam, background=bg, active_sh_degree=2,
+            tile_membership=member, tile_size=CFG.tile_size,
+        )
+        return jnp.sum(out.image)
+
+    def loss_tiled(bg):
+        return jnp.sum(
+            render_tiled(params, cam, CFG, background=bg, active_sh_degree=2).image
+        )
+
+    bg0 = jnp.asarray([0.2, 0.4, 0.6])
+    g_ref = jax.grad(loss_ref)(bg0)
+    g_tiled = jax.grad(loss_tiled)(bg0)
+    np.testing.assert_allclose(g_tiled, g_ref, rtol=1e-3)
+
+
+def test_tiled_jits():
+    params, cam = random_scene(n=32, seed=5)
+    f = jax.jit(lambda p: render_tiled(p, cam, CFG, active_sh_degree=2).image)
+    img = f(params)
+    assert np.isfinite(np.asarray(img)).all()
