@@ -1,0 +1,252 @@
+"""Scene block partitioning: OBB-aligned camera/point grids + block manifests.
+
+Capability parity with the reference's spatial clustering stack
+(conerf/geometry/cluster.py:30-232 Grid2DXY / Grid2DClustering /
+Grid2DBiPartite, the block path of load_colmap.py:402-491, and the
+MiniDataset on-disk block format of dataset_base.py:96-150). Blocks are the
+unit of the DOGS distributed strategy: each becomes one shard of the TPU
+mesh (SURVEY.md §2.7).
+
+Differences from the reference by design:
+  * per-block data is an npz manifest + shared image paths instead of
+    per-camera torch .pt files;
+  * the OBB comes from PCA over camera ground-plane positions instead of
+    trimesh.bounds.oriented_bounds (same effect: axis-align the dominant
+    street/flight direction before gridding).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from dogs_tpu.data.dataset import CameraRecord
+
+
+def obb_transform_from_positions(positions: np.ndarray) -> np.ndarray:
+    """(4,4) world->OBB transform aligning the xy principal axes.
+
+    Equivalent role to world_to_obb_transform.npy (load_colmap.py:402-450).
+    Assumes the scene is up-normalized (z approx up) — valid after
+    similarity normalization.
+    """
+    xy = positions[:, :2]
+    center = xy.mean(axis=0)
+    d = xy - center
+    cov = d.T @ d / max(len(d), 1)
+    _, vecs = np.linalg.eigh(cov)
+    # Principal axis last from eigh; build right-handed 2D rotation.
+    major = vecs[:, -1]
+    minor = np.array([-major[1], major[0]])
+    R2 = np.stack([major, minor], axis=0)  # rows = OBB axes
+    T = np.eye(4)
+    T[:2, :2] = R2
+    T[:2, 3] = -R2 @ center
+    return T
+
+
+def apply_transform(points: np.ndarray, T: np.ndarray) -> np.ndarray:
+    return points @ T[:3, :3].T + T[:3, 3]
+
+
+def split_compact_grid(
+    positions_obb: np.ndarray, mx: int, my: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Equal-count mx x my grid over OBB xy (cluster.py:76-140 Grid2DXY):
+    split x by camera-count quantiles, then each x-strip by y quantiles.
+
+    Returns (labels (N,), bounds (mx*my, 2, 2)): per-block [[x0,y0],[x1,y1]]
+    in OBB coordinates. Outer blocks extend to +-inf replaced by data hull
+    padded by 10%.
+    """
+    n = positions_obb.shape[0]
+    x = positions_obb[:, 0]
+    y = positions_obb[:, 1]
+    pad = 0.1 * max(float(x.ptp()), float(y.ptp()), 1e-6)
+    x_lo, x_hi = float(x.min()) - pad, float(x.max()) + pad
+    y_lo, y_hi = float(y.min()) - pad, float(y.max()) + pad
+
+    x_edges = np.quantile(x, np.linspace(0, 1, mx + 1))
+    x_edges[0], x_edges[-1] = x_lo, x_hi
+    labels = np.zeros((n,), np.int32)
+    bounds = np.zeros((mx * my, 2, 2))
+    for i in range(mx):
+        in_x = (x >= x_edges[i]) & (x < x_edges[i + 1] if i < mx - 1 else x <= x_edges[i + 1])
+        ys = y[in_x]
+        y_edges = (
+            np.quantile(ys, np.linspace(0, 1, my + 1))
+            if ys.size
+            else np.linspace(y_lo, y_hi, my + 1)
+        )
+        y_edges[0], y_edges[-1] = y_lo, y_hi
+        for j in range(my):
+            k = i * my + j
+            in_y = (y >= y_edges[j]) & (
+                y < y_edges[j + 1] if j < my - 1 else y <= y_edges[j + 1]
+            )
+            labels[in_x & in_y] = k
+            bounds[k] = [[x_edges[i], y_edges[j]], [x_edges[i + 1], y_edges[j + 1]]]
+    return labels, bounds
+
+
+def split_bipartite(positions_obb: np.ndarray, num_blocks: int):
+    """Recursive longest-axis equal-count bisection
+    (cluster.py:30-73 Grid2DBiPartite). num_blocks must be a power of two."""
+    assert num_blocks & (num_blocks - 1) == 0, "num_blocks must be 2^k"
+    n = positions_obb.shape[0]
+    idx_sets = [np.arange(n)]
+    while len(idx_sets) < num_blocks:
+        nxt = []
+        for idx in idx_sets:
+            p = positions_obb[idx, :2]
+            axis = int(np.argmax(p.max(0) - p.min(0)))
+            med = np.median(p[:, axis])
+            left = idx[p[:, axis] <= med]
+            right = idx[p[:, axis] > med]
+            if len(left) == 0 or len(right) == 0:  # degenerate tie: split evenly
+                order = idx[np.argsort(p[:, axis], kind="stable")]
+                left, right = order[: len(idx) // 2], order[len(idx) // 2 :]
+            nxt += [left, right]
+        idx_sets = nxt
+    labels = np.zeros((n,), np.int32)
+    for k, idx in enumerate(idx_sets):
+        labels[idx] = k
+    return labels
+
+
+def expand_bounds(bounds: np.ndarray, scale_factor: float | np.ndarray) -> np.ndarray:
+    """Expand each block box around its center (cluster.py:177-195;
+    bbox_scale_factor 1.4 in urban3d_admm.yaml:20 gives the ADMM overlap)."""
+    center = bounds.mean(axis=1, keepdims=True)
+    half = (bounds[:, 1:2] - bounds[:, 0:1]) * 0.5
+    sf = np.asarray(scale_factor).reshape(1, 1, -1)[..., : bounds.shape[-1]]
+    return np.concatenate([center - half * sf, center + half * sf], axis=1)
+
+
+def points_in_bounds2d(
+    points: np.ndarray, bounds_xy: np.ndarray, transform: np.ndarray | None = None
+) -> np.ndarray:
+    """(P,) bool — inside an OBB-space xy rectangle
+    (conerf/datasets/utils.py:186-215 points_in_bbox2D)."""
+    p = apply_transform(points, transform) if transform is not None else points
+    return (
+        (p[:, 0] >= bounds_xy[0, 0])
+        & (p[:, 0] <= bounds_xy[1, 0])
+        & (p[:, 1] >= bounds_xy[0, 1])
+        & (p[:, 1] <= bounds_xy[1, 1])
+    )
+
+
+@dataclasses.dataclass
+class BlockPartition:
+    """Full partition result for a scene."""
+
+    num_blocks: int
+    transform: np.ndarray  # (4,4) world->OBB
+    camera_labels: np.ndarray  # (n_cams,)
+    bounds: np.ndarray  # (k, 2, 2) origin boxes (OBB xy)
+    bounds_expanded: np.ndarray  # (k, 2, 2) overlap boxes
+    point_masks: list[np.ndarray]  # per block (P,) bool over the global cloud
+
+
+def partition_scene(
+    camera_positions: np.ndarray,
+    points: np.ndarray,
+    mx: int,
+    my: int,
+    bbox_scale_factor=(1.4, 1.4),
+) -> BlockPartition:
+    """The preprocess_large_scale_data.py block path in one call
+    (load_colmap.py:402-450)."""
+    T = obb_transform_from_positions(camera_positions)
+    cams_obb = apply_transform(camera_positions, T)
+    labels, bounds = split_compact_grid(cams_obb, mx, my)
+    bounds_exp = expand_bounds(bounds, np.asarray(bbox_scale_factor))
+    masks = [
+        points_in_bounds2d(points, bounds_exp[k], T) for k in range(mx * my)
+    ]
+    return BlockPartition(
+        num_blocks=mx * my,
+        transform=T,
+        camera_labels=labels,
+        bounds=bounds,
+        bounds_expanded=bounds_exp,
+        point_masks=masks,
+    )
+
+
+# ---- on-disk block manifests (MiniDataset replacement) ---------------------
+
+
+def block_dir(root: str, mx: int, my: int, k: int) -> str:
+    """blocks_{mx}x{my}/block_{k} layout parity
+    (conerf/datasets/utils.py:400-411 get_block_info_dir)."""
+    return os.path.join(root, f"blocks_{mx}x{my}", f"block_{k}")
+
+
+def save_block(
+    path: str,
+    cameras: list[CameraRecord],
+    points: np.ndarray,
+    colors: np.ndarray,
+    bounds: np.ndarray,
+    bounds_expanded: np.ndarray,
+    transform: np.ndarray,
+) -> None:
+    """Write one block's manifest (replaces MiniDataset.write,
+    dataset_base.py:111-124)."""
+    os.makedirs(path, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(path, "block.npz"),
+        R=np.stack([c.R for c in cameras]) if cameras else np.zeros((0, 3, 3)),
+        t=np.stack([c.t for c in cameras]) if cameras else np.zeros((0, 3)),
+        intrinsics=np.asarray(
+            [[c.fx, c.fy, c.cx, c.cy, c.width, c.height] for c in cameras]
+        ).reshape(-1, 6),
+        image_index=np.asarray([c.image_index for c in cameras], np.int64),
+        points=points.astype(np.float32),
+        colors=colors.astype(np.float32),
+        bounds=bounds,
+        bounds_expanded=bounds_expanded,
+        transform=transform,
+    )
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "num_cameras": len(cameras),
+                "num_points": int(points.shape[0]),
+                "image_paths": [c.image_path for c in cameras],
+            },
+            f,
+            indent=2,
+        )
+
+
+def load_block(path: str):
+    """Read one block's manifest (replaces MiniDataset.read,
+    dataset_base.py:126-150)."""
+    data = np.load(os.path.join(path, "block.npz"))
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cameras = []
+    for i in range(int(meta["num_cameras"])):
+        fx, fy, cx, cy, w, h = data["intrinsics"][i]
+        cameras.append(
+            CameraRecord(
+                R=data["R"][i], t=data["t"][i], fx=fx, fy=fy, cx=cx, cy=cy,
+                width=int(w), height=int(h),
+                image_path=meta["image_paths"][i],
+                image_index=int(data["image_index"][i]),
+            )
+        )
+    return dict(
+        cameras=cameras,
+        points=data["points"],
+        colors=data["colors"],
+        bounds=data["bounds"],
+        bounds_expanded=data["bounds_expanded"],
+        transform=data["transform"],
+    )

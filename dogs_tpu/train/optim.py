@@ -69,8 +69,12 @@ class SparseAdamState:
 
 
 def init_sparse_adam(params: GaussianParams) -> SparseAdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    return SparseAdamState(mu=zeros, nu=zeros)
+    # mu and nu must be DISTINCT buffers: sharing one zeros pytree makes a
+    # donating jit see the same buffer twice ("donate(a), donate(a)").
+    return SparseAdamState(
+        mu=jax.tree.map(jnp.zeros_like, params),
+        nu=jax.tree.map(jnp.zeros_like, params),
+    )
 
 
 def sparse_adam_step(

@@ -1,0 +1,503 @@
+"""Single-device 3DGS trainer: jitted functional step + host orchestration.
+
+TPU-native re-design of the reference trainer stack
+(conerf/trainers/trainer.py:27 BaseTrainer ->
+conerf/trainers/implicit_recon_trainer.py:17 ->
+conerf/trainers/gaussian_trainer.py:103-573 GaussianSplatTrainer). The torch
+trainer mutates module state every iteration; here one pure `train_step` is
+jit-compiled per (image-shape, SH-degree, capacity) bucket and everything
+dynamic lives in an explicit `TrainState` pytree. Host-side code only:
+picks cameras, runs the coarse-to-fine resolution schedule, grows Gaussian
+capacity in power-of-two buckets, and triggers densify/prune/opacity-reset
+at the reference cadences (gaussian_trainer.py:429-476).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from typing import Any, Callable, Sequence
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dogs_tpu.core.camera import Camera
+from dogs_tpu.core.gaussians import (
+    GaussianParams,
+    pad_to_capacity,
+    round_up_capacity,
+)
+from dogs_tpu.fields.model import (
+    GaussianModelState,
+    densify_and_prune,
+    init_from_points,
+    required_slots,
+    reset_opacity,
+    update_densify_stats,
+)
+from dogs_tpu.raster.ssim import ssim
+from dogs_tpu.raster.tiled import RasterConfig, render_tiled
+from dogs_tpu.train.optim import (
+    SparseAdamState,
+    adam_step,
+    exponential_lr,
+    init_sparse_adam,
+    sparse_adam_step,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Static hyperparameters, defaults = reference mipnerf360.yaml."""
+
+    max_iterations: int = 30000
+    # loss (config/gaussian_splatting/*.yaml loss block)
+    lambda_dssim: float = 0.2
+    lambda_scale: float = 0.01
+    # optimizer.lr block
+    position_lr_init: float = 1.6e-4
+    position_lr_final: float = 1.6e-6
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30000
+    feature_lr: float = 2.5e-3
+    opacity_lr: float = 0.025
+    scaling_lr: float = 5e-3
+    quaternion_lr: float = 1e-3
+    exposure_lr_init: float = 0.01
+    exposure_lr_final: float = 0.001
+    exposure_lr_delay_steps: int = 0
+    exposure_lr_delay_mult: float = 0.0
+    # geometry block
+    percent_dense: float = 0.01
+    densify_start_iter: int = 500
+    densify_end_iter: int = 15000
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_grad_threshold: float = 2e-4
+    min_opacity: float = 0.005
+    size_threshold: float = 20.0
+    coarse_to_fine: bool = False
+    # texture block
+    max_sh_degree: int = 3
+    sh_increase_interval: int = 1000
+    # appearance
+    use_trained_exposure: bool = False
+    # misc
+    white_background: bool = False
+    spatial_lr_scale: float = -1.0  # <0: compute nerf++ norm from cameras
+    min_capacity: int = 4096
+
+
+@flax.struct.dataclass
+class TrainState:
+    model: GaussianModelState
+    opt: SparseAdamState
+    exposure: jnp.ndarray  # (n_images, 3, 4)
+    exposure_mu: jnp.ndarray
+    exposure_nu: jnp.ndarray
+    step: jnp.ndarray  # () int32
+
+
+def compute_nerf_plus_plus_norm(cameras: Sequence[Camera]) -> float:
+    """Scene extent = 1.1 * max camera distance from the camera centroid
+    (conerf/datasets/utils.py:352-369)."""
+    centers = np.stack([np.asarray(c.camera_center) for c in cameras])
+    centroid = centers.mean(axis=0)
+    radius = np.linalg.norm(centers - centroid, axis=-1).max()
+    return float(radius * 1.1)
+
+
+def init_train_state(
+    points: np.ndarray,
+    colors: np.ndarray,
+    n_images: int,
+    cfg: TrainerConfig,
+) -> TrainState:
+    capacity = round_up_capacity(points.shape[0], cfg.min_capacity)
+    model = init_from_points(
+        jnp.asarray(points), jnp.asarray(colors), capacity, cfg.max_sh_degree
+    )
+    exposure = jnp.tile(jnp.eye(3, 4, dtype=jnp.float32)[None], (max(n_images, 1), 1, 1))
+    return TrainState(
+        model=model,
+        opt=init_sparse_adam(model.params),
+        exposure=exposure,
+        exposure_mu=jnp.zeros_like(exposure),
+        exposure_nu=jnp.zeros_like(exposure),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def apply_exposure(image: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
+    """img' = img @ E[:3,:3] + E[:3,3] (conerf/render/gaussian_render.py:139-144)."""
+    return (
+        jnp.einsum("hwc,cd->hwd", image, exposure[:3, :3]) + exposure[:3, 3]
+    )
+
+
+def make_lr_schedules(cfg: TrainerConfig, spatial_lr_scale: float):
+    xyz_lr = exponential_lr(
+        cfg.position_lr_init * spatial_lr_scale,
+        cfg.position_lr_final * spatial_lr_scale,
+        cfg.position_lr_max_steps,
+        lr_delay_mult=cfg.position_lr_delay_mult,
+        lr_delay_steps=0,
+    )
+    exposure_lr = exponential_lr(
+        cfg.exposure_lr_init,
+        cfg.exposure_lr_final,
+        cfg.max_iterations,
+        lr_delay_steps=cfg.exposure_lr_delay_steps,
+        lr_delay_mult=cfg.exposure_lr_delay_mult,
+    )
+
+    def lrs(step):
+        return GaussianParams(
+            xyz=xyz_lr(step),
+            feat_dc=jnp.float32(cfg.feature_lr),
+            feat_rest=jnp.float32(cfg.feature_lr / 20.0),
+            log_scale=jnp.float32(cfg.scaling_lr),
+            quat=jnp.float32(cfg.quaternion_lr),
+            logit_opacity=jnp.float32(cfg.opacity_lr),
+        )
+
+    return lrs, exposure_lr
+
+
+def make_train_step(
+    cfg: TrainerConfig,
+    raster_cfg: RasterConfig,
+    spatial_lr_scale: float,
+    active_sh_degree: int,
+    background: tuple[float, float, float],
+) -> Callable:
+    """Build the jitted train step for one (sh_degree, image-shape) bucket.
+
+    The returned function is `train_step(ts, camera, gt_image) -> (ts, metrics)`
+    and mirrors gaussian_trainer.py:324-513 train_iteration minus the host
+    concerns (densify triggers, checkpointing, logging cadence).
+    """
+    lrs_fn, exposure_lr_fn = make_lr_schedules(cfg, spatial_lr_scale)
+    bg = jnp.asarray(background, jnp.float32)
+
+    def loss_fn(params, offset, exposure_row, camera, gt, alive):
+        out = render_tiled(
+            params,
+            camera,
+            raster_cfg,
+            background=bg,
+            alive=alive,
+            active_sh_degree=active_sh_degree,
+            means2d_offset=offset,
+        )
+        img = out.image
+        if cfg.use_trained_exposure:
+            img = apply_exposure(img, exposure_row)
+        img = jnp.clip(img, 0.0, 1.0)
+        l1 = jnp.mean(jnp.abs(img - gt))
+        loss_ssim = ssim(img, gt)
+        loss = (1.0 - cfg.lambda_dssim) * l1 + cfg.lambda_dssim * (1.0 - loss_ssim)
+        # Scale regularizer: mean over alive of prod(scale)
+        # (gaussian_trainer.py:405-407).
+        n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
+        vol = jnp.prod(params.scale, axis=-1)
+        loss_scaling = jnp.sum(jnp.where(alive, vol, 0.0)) / n_alive
+        loss = loss + cfg.lambda_scale * loss_scaling
+        mse = jnp.mean((img - gt) ** 2)
+        psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
+        aux = dict(
+            radii=out.radii, l1=l1, ssim=loss_ssim, psnr=psnr,
+            scale_loss=loss_scaling,
+        )
+        return loss, aux
+
+    def train_step(ts: TrainState, camera: Camera, gt: jnp.ndarray):
+        params = ts.model.params
+        offset = jnp.zeros((params.capacity, 2), jnp.float32)
+        exposure_row = ts.exposure[camera.image_index]
+        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            params, offset, exposure_row, camera, gt, ts.model.alive
+        )
+        g_params, g_offset, g_exposure = grads
+        radii = aux["radii"]
+        visible = (radii > 0.0) & ts.model.alive
+
+        new_params, new_opt = sparse_adam_step(
+            params, g_params, ts.opt, visible, lrs_fn(ts.step)
+        )
+
+        # Densification bookkeeping while the densify phase is on
+        # (gaussian_trainer.py:429-447).
+        in_densify = ts.step < cfg.densify_end_iter
+        model = ts.model.replace(params=new_params)
+        stats_model = update_densify_stats(
+            model, g_offset, radii, camera.width, camera.height
+        )
+        model = jax.tree.map(
+            lambda a, b: jnp.where(in_densify, a, b), stats_model, model
+        )
+
+        exposure = ts.exposure
+        exp_mu, exp_nu = ts.exposure_mu, ts.exposure_nu
+        if cfg.use_trained_exposure:
+            row, mu_row, nu_row = adam_step(
+                exposure_row,
+                g_exposure,
+                exp_mu[camera.image_index],
+                exp_nu[camera.image_index],
+                exposure_lr_fn(ts.step),
+                ts.step,
+            )
+            exposure = exposure.at[camera.image_index].set(row)
+            exp_mu = exp_mu.at[camera.image_index].set(mu_row)
+            exp_nu = exp_nu.at[camera.image_index].set(nu_row)
+
+        new_ts = TrainState(
+            model=model,
+            opt=new_opt,
+            exposure=exposure,
+            exposure_mu=exp_mu,
+            exposure_nu=exp_nu,
+            step=ts.step + 1,
+        )
+        metrics = dict(
+            loss=loss,
+            l1=aux["l1"],
+            ssim=aux["ssim"],
+            psnr=aux["psnr"],
+            scale_loss=aux["scale_loss"],
+            n_visible=jnp.sum(visible.astype(jnp.int32)),
+            n_alive=ts.model.num_alive,
+        )
+        return new_ts, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def grow_capacity(ts: TrainState, new_capacity: int) -> TrainState:
+    """Host-side capacity growth (power-of-two buckets bound recompiles)."""
+    model = ts.model
+    pad = new_capacity - model.capacity
+    assert pad > 0
+
+    def pad0(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+        )
+
+    new_model = GaussianModelState(
+        params=pad_to_capacity(model.params, new_capacity),
+        alive=pad0(model.alive),
+        grad_accum=pad0(model.grad_accum),
+        denom=pad0(model.denom),
+        max_radii2d=pad0(model.max_radii2d),
+    )
+    # Moments pad with ZEROS on every leaf (not the inert param defaults).
+    zpad = lambda a: jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+    )
+    new_opt = SparseAdamState(
+        mu=jax.tree.map(zpad, ts.opt.mu), nu=jax.tree.map(zpad, ts.opt.nu)
+    )
+    return ts.replace(model=new_model, opt=new_opt)
+
+
+def zero_moments_at(opt: SparseAdamState, slots_mask: jnp.ndarray) -> SparseAdamState:
+    """Zero Adam moments for newly allocated slots (the replacement for
+    cat_tensors_to_optimizer's zero extension, gaussian_splat_model.py:60-108)."""
+
+    def z(a):
+        m = slots_mask.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(m, 0.0, a)
+
+    return SparseAdamState(mu=jax.tree.map(z, opt.mu), nu=jax.tree.map(z, opt.nu))
+
+
+def zero_opacity_moments(opt: SparseAdamState) -> SparseAdamState:
+    """After opacity reset, the reference zeroes the opacity group's moments
+    (replace_tensor_to_optimizer, gaussian_splat_model.py:34-58)."""
+    return SparseAdamState(
+        mu=opt.mu.replace(logit_opacity=jnp.zeros_like(opt.mu.logit_opacity)),
+        nu=opt.nu.replace(logit_opacity=jnp.zeros_like(opt.nu.logit_opacity)),
+    )
+
+
+class GaussianSplatTrainer:
+    """Host-side training orchestrator (single device).
+
+    Mirrors the reference loop cadence: SH annealing every 1000 iters,
+    densify every 100 in [500, 15000], opacity reset every 3000, optional
+    coarse-to-fine resolution schedule (gaussian_trainer.py:309-319).
+    """
+
+    def __init__(
+        self,
+        cameras: Sequence[Camera],
+        images: Sequence[np.ndarray],
+        points: np.ndarray,
+        colors: np.ndarray,
+        cfg: TrainerConfig = TrainerConfig(),
+        raster_cfg: RasterConfig = RasterConfig(),
+        val_cameras: Sequence[Camera] = (),
+        val_images: Sequence[np.ndarray] = (),
+        seed: int = 42,
+    ):
+        assert len(cameras) == len(images)
+        self.cameras = list(cameras)
+        self.images = [np.asarray(im, np.float32) for im in images]
+        self.val_cameras = list(val_cameras)
+        self.val_images = [np.asarray(im, np.float32) for im in val_images]
+        self.cfg = cfg
+        self.raster_cfg = raster_cfg
+        self.rng = np.random.RandomState(seed)
+        self.jax_key = jax.random.PRNGKey(seed)
+
+        if cfg.spatial_lr_scale > 0:
+            self.spatial_lr_scale = cfg.spatial_lr_scale
+        else:
+            self.spatial_lr_scale = compute_nerf_plus_plus_norm(self.cameras)
+        self.background = (1.0, 1.0, 1.0) if cfg.white_background else (0.0, 0.0, 0.0)
+
+        self.state = init_train_state(points, colors, len(cameras), cfg)
+        self._step_cache: dict[Any, Callable] = {}
+        self._order: list[int] = []
+        self.metrics_history: list[dict] = []
+        self.admm_penalty_fn = None  # hook used by the ADMM block trainer
+
+    # ---- jit-cache helpers -------------------------------------------------
+    def _get_step_fn(self, active_sh_degree: int):
+        key = active_sh_degree
+        if key not in self._step_cache:
+            self._step_cache[key] = make_train_step(
+                self.cfg,
+                self.raster_cfg,
+                self.spatial_lr_scale,
+                active_sh_degree,
+                self.background,
+            )
+        return self._step_cache[key]
+
+    def active_sh_degree(self, step: int) -> int:
+        return min(step // self.cfg.sh_increase_interval, self.cfg.max_sh_degree)
+
+    def training_resolution(self, step: int) -> int:
+        """Coarse-to-fine factor (gaussian_trainer.py:309-319)."""
+        if not self.cfg.coarse_to_fine:
+            return 1
+        n_interval = 3
+        thresh = min(20000, self.cfg.densify_end_iter) // n_interval
+        return 2 ** max(n_interval - step // thresh - 1, 0)
+
+    def _next_camera(self) -> int:
+        if not self._order:
+            self._order = list(self.rng.permutation(len(self.cameras)))
+        return int(self._order.pop())
+
+    # ---- densification host logic ------------------------------------------
+    def _maybe_densify(self, step: int):
+        cfg = self.cfg
+        if not (cfg.densify_start_iter < step < cfg.densify_end_iter):
+            return
+        if step % cfg.densification_interval != 0:
+            return
+        need = int(
+            required_slots(
+                self.state.model,
+                cfg.densify_grad_threshold,
+                cfg.percent_dense,
+                self.spatial_lr_scale,
+            )
+        )
+        if need > 0:
+            new_cap = round_up_capacity(self.state.model.capacity + need)
+            logger.info("growing capacity %d -> %d", self.state.model.capacity, new_cap)
+            self.state = grow_capacity(self.state, new_cap)
+        size_threshold = (
+            cfg.size_threshold if step > cfg.opacity_reset_interval else None
+        )
+        self.jax_key, sub = jax.random.split(self.jax_key)
+        new_model, allocated, overflow = densify_and_prune(
+            self.state.model,
+            sub,
+            cfg.densify_grad_threshold,
+            cfg.min_opacity,
+            self.spatial_lr_scale,
+            size_threshold,
+            percent_dense=cfg.percent_dense,
+        )
+        self.state = self.state.replace(
+            model=new_model, opt=zero_moments_at(self.state.opt, allocated)
+        )
+        if int(overflow) > 0:
+            logger.warning("densify overflow: %d candidates dropped", int(overflow))
+
+    def _maybe_reset_opacity(self, step: int):
+        cfg = self.cfg
+        hit = step % cfg.opacity_reset_interval == 0
+        white_kick = cfg.white_background and step == cfg.densify_start_iter
+        if step < cfg.densify_end_iter and (hit or white_kick):
+            self.state = self.state.replace(
+                model=reset_opacity(self.state.model),
+                opt=zero_opacity_moments(self.state.opt),
+            )
+
+    # ---- main loop -----------------------------------------------------------
+    def train_iteration(self, step: int) -> dict:
+        idx = self._next_camera()
+        res = self.training_resolution(step)
+        camera = self.cameras[idx]
+        gt = self.images[idx]
+        if res > 1:
+            camera = camera.downsample(res)
+            gt = gt[:: res, :: res]  # nearest; cameras carry exact intrinsics
+            gt = np.ascontiguousarray(gt[: camera.height, : camera.width])
+        step_fn = self._get_step_fn(self.active_sh_degree(step))
+        self.state, metrics = step_fn(self.state, camera, jnp.asarray(gt))
+        self._maybe_densify(step)
+        self._maybe_reset_opacity(step)
+        return metrics
+
+    def train(self, num_iterations: int | None = None, log_every: int = 100):
+        n = num_iterations or self.cfg.max_iterations
+        start_step = int(self.state.step)
+        t0 = time.time()
+        metrics = {}
+        for step in range(start_step + 1, start_step + n + 1):
+            metrics = self.train_iteration(step)
+            if log_every and step % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["iters_per_sec"] = (step - start_step) / (time.time() - t0)
+                m["step"] = step
+                self.metrics_history.append(m)
+                logger.info(
+                    "step %d loss %.4f psnr %.2f alive %d (%.1f it/s)",
+                    step, m["loss"], m["psnr"], int(m["n_alive"]), m["iters_per_sec"],
+                )
+        return metrics
+
+    # ---- validation -----------------------------------------------------------
+    def validate(self) -> dict:
+        """PSNR over the val split (implicit_recon_trainer.py:358-375)."""
+        if not self.val_cameras:
+            return {}
+        psnrs = []
+        deg = self.active_sh_degree(int(self.state.step))
+        for cam, gt in zip(self.val_cameras, self.val_images):
+            out = render_tiled(
+                self.state.model.params,
+                cam,
+                self.raster_cfg,
+                background=jnp.asarray(self.background),
+                alive=self.state.model.alive,
+                active_sh_degree=deg,
+            )
+            img = np.clip(np.asarray(out.image), 0.0, 1.0)
+            mse = float(np.mean((img - gt) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+        return {"val_psnr": float(np.mean(psnrs))}

@@ -2,19 +2,27 @@
 
 Tests must not depend on TPU hardware: we force the CPU backend with 8
 virtual devices so distributed (mesh/ADMM) paths are exercised single-host,
-per SURVEY.md §4 tier 5.  Must run before jax is imported anywhere.
+per SURVEY.md §4 tier 5.  Must run before jax initializes its backends.
+
+NOTE: this environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel) and the
+env var wins over os.environ mutation at import time, so the override goes
+through jax.config instead.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Test assertions do exact-ish f32 comparisons; don't let test-side matmuls
 # silently run at bf16 precision.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_report_header(config):
+    return f"jax backend: {jax.default_backend()} devices: {jax.device_count()}"

@@ -1,0 +1,168 @@
+"""Round-trip tests for COLMAP parsing, PLY, .splat, and the config system."""
+
+import os
+
+import numpy as np
+
+from dogs_tpu.core.gaussians import GaussianParams, inverse_sigmoid
+from dogs_tpu.data.colmap import (
+    ColmapCamera,
+    ColmapImage,
+    load_model,
+    write_cameras_bin,
+    write_images_bin,
+    write_model_txt,
+    write_points3d_bin,
+)
+from dogs_tpu.data.ply import read_ply, read_point_cloud, write_ply, write_point_cloud
+from dogs_tpu.fields.io import (
+    load_gaussian_ply,
+    load_splat,
+    save_colmap_ply,
+    save_gaussian_ply,
+    save_splat,
+)
+from dogs_tpu.utils.config import from_dotlist, load_config, merge, resolve
+
+
+def _toy_model():
+    rng = np.random.RandomState(0)
+    cams = {
+        1: ColmapCamera(1, "PINHOLE", 640, 480, np.array([500.0, 510.0, 320.0, 240.0])),
+        2: ColmapCamera(2, "SIMPLE_PINHOLE", 800, 600, np.array([450.0, 400.0, 300.0])),
+    }
+    q = rng.randn(3, 4)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    imgs = {
+        i + 1: ColmapImage(i + 1, q[i], rng.randn(3), 1 + i % 2, f"img_{i:03d}.jpg")
+        for i in range(3)
+    }
+    xyz = rng.randn(50, 3)
+    rgb = rng.randint(0, 255, (50, 3)).astype(np.uint8)
+    return cams, imgs, xyz, rgb
+
+
+def test_colmap_bin_roundtrip(tmp_path):
+    cams, imgs, xyz, rgb = _toy_model()
+    d = str(tmp_path)
+    write_cameras_bin(os.path.join(d, "cameras.bin"), cams)
+    write_images_bin(os.path.join(d, "images.bin"), imgs)
+    write_points3d_bin(os.path.join(d, "points3D.bin"), xyz, rgb)
+    model = load_model(d)
+    assert model.cameras[1].fx == 500.0 and model.cameras[1].fy == 510.0
+    assert model.cameras[2].fx == model.cameras[2].fy == 450.0
+    assert model.images[2].name == "img_001.jpg"
+    np.testing.assert_allclose(model.images[2].qvec, imgs[2].qvec)
+    np.testing.assert_allclose(model.points_xyz, xyz)
+    np.testing.assert_array_equal(model.points_rgb, rgb)
+    # Rotation orthonormal.
+    R = model.images[1].rotation()
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+
+
+def test_colmap_txt_roundtrip(tmp_path):
+    cams, imgs, xyz, rgb = _toy_model()
+    d = str(tmp_path / "txt")
+    write_model_txt(d, cams, imgs, xyz, rgb)
+    model = load_model(d)
+    assert model.cameras[1].width == 640
+    assert len(model.images) == 3
+    np.testing.assert_allclose(model.points_xyz, xyz, atol=1e-12)
+
+
+def test_ply_roundtrip(tmp_path):
+    path = str(tmp_path / "pts.ply")
+    rng = np.random.RandomState(1)
+    xyz = rng.randn(100, 3)
+    rgb = rng.rand(100, 3)
+    write_point_cloud(path, xyz, rgb)
+    xyz2, rgb2 = read_point_cloud(path)
+    np.testing.assert_allclose(xyz2, xyz, atol=1e-6)
+    np.testing.assert_allclose(rgb2, rgb, atol=1.0 / 255.0)
+
+
+def _toy_params(n=20, sh_deg=2):
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(2)
+    k = (sh_deg + 1) ** 2
+    return GaussianParams(
+        xyz=jnp.asarray(rng.randn(n, 3), jnp.float32),
+        feat_dc=jnp.asarray(rng.randn(n, 1, 3), jnp.float32),
+        feat_rest=jnp.asarray(rng.randn(n, k - 1, 3), jnp.float32),
+        log_scale=jnp.asarray(rng.randn(n, 3) * 0.3 - 2, jnp.float32),
+        quat=jnp.asarray(rng.randn(n, 4), jnp.float32),
+        logit_opacity=jnp.asarray(rng.randn(n, 1), jnp.float32),
+    )
+
+
+def test_gaussian_ply_roundtrip(tmp_path):
+    params = _toy_params()
+    path = str(tmp_path / "model.ply")
+    save_gaussian_ply(path, params)
+    back = load_gaussian_ply(path)
+    for name in ["xyz", "feat_dc", "feat_rest", "log_scale", "quat", "logit_opacity"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(back, name)), np.asarray(getattr(params, name)),
+            atol=1e-6, err_msg=name,
+        )
+
+
+def test_splat_export(tmp_path):
+    params = _toy_params()
+    path = str(tmp_path / "model.splat")
+    save_splat(path, params)
+    data = load_splat(path)
+    assert data["xyz"].shape == (20, 3)
+    # Stored order = descending volume*opacity of the ORIGINAL params
+    # (alpha is uint8-quantized in the file, so recompute from source).
+    scale = np.exp(np.asarray(params.log_scale))
+    op = 1.0 / (1.0 + np.exp(-np.asarray(params.logit_opacity[:, 0])))
+    order = np.argsort(-(scale.prod(-1) * op))
+    np.testing.assert_allclose(
+        data["xyz"], np.asarray(params.xyz)[order], atol=1e-6
+    )
+
+
+def test_colmap_ply_export(tmp_path):
+    params = _toy_params()
+    path = str(tmp_path / "points.ply")
+    save_colmap_ply(path, params)
+    xyz, rgb = read_point_cloud(path)
+    assert xyz.shape == (20, 3)
+    assert (rgb >= 0).all() and (rgb <= 1).all()
+
+
+def test_config_interpolation(tmp_path):
+    path = str(tmp_path / "c.yaml")
+    with open(path, "w") as f:
+        f.write(
+            """
+neural_field_type: gs
+task: nvs
+dataset:
+  name: toy
+  scene: lego
+expname: ${neural_field_type}_${task}_${dataset.name}_${dataset.scene}
+trainer:
+  max_iterations: 30000
+optimizer:
+  gamma: ${calc_exp_lr_decay_rate:0.01,0.0001,${trainer.max_iterations}}
+  double: ${mul:2,${trainer.max_iterations}}
+"""
+        )
+    cfg = load_config(path)
+    assert cfg.expname == "gs_nvs_toy_lego"
+    np.testing.assert_allclose(cfg.optimizer.gamma, (0.0001 / 0.01) ** (1 / 30000))
+    assert cfg.optimizer.double == 60000
+    # CLI dotlist override.
+    cfg2 = load_config(path, cli_overrides=["trainer.max_iterations=100", "dataset.scene=chair"])
+    assert cfg2.trainer.max_iterations == 100
+    assert cfg2.expname.endswith("chair")
+
+
+def test_config_merge_and_dotlist():
+    base = {"a": {"b": 1, "c": 2}, "d": 3}
+    over = from_dotlist(["a.b=10", "e=[1,2]"])
+    out = merge(base, over)
+    assert out.a.b == 10 and out.a.c == 2 and out.e == [1, 2]

@@ -9,6 +9,10 @@ from dogs_tpu.raster.reference import render_reference
 
 
 def make_params(xyz, rgb, scale, opacity, max_sh_degree=1):
+    xyz = np.asarray(xyz, np.float32)
+    rgb = np.asarray(rgb, np.float32)
+    scale = np.asarray(scale, np.float32)
+    opacity = np.asarray(opacity, np.float32)
     n = xyz.shape[0]
     k = (max_sh_degree + 1) ** 2
     return GaussianParams(
@@ -59,7 +63,7 @@ def test_front_gaussian_occludes_back():
 
 def test_background_blending():
     params = make_params(
-        xyz=[[0.0, 0.0, 0.0]], rgb=[[0.0, 0.0, 0.0]], scale=[[0.05] * 3], opacity=[0.5]
+        xyz=[[0.0, 0.0, 0.0]], rgb=[[0.0, 0.0, 0.0]], scale=[[0.4] * 3], opacity=[0.5]
     )
     cam = simple_camera()
     bg = jnp.asarray([0.0, 0.0, 1.0])
