@@ -1,0 +1,133 @@
+"""Benchmark: full 3DGS training step throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: a Mill-19-rubble-like synthetic scene — factor-4 image resolution
+(1152x864) and a dense Gaussian cloud — running the COMPLETE training
+iteration (tiled render forward, L1+SSIM loss, hand-written rasterizer VJP,
+visibility-masked sparse Adam, densification stat accumulation).
+
+vs_baseline: the reference repo publishes no numeric throughput (BASELINE.md);
+the denominator is the commonly observed ~6 it/s of single-GPU Taming-3DGS on
+rubble-scale scenes at this resolution, recorded here so the ratio is
+reproducible. BASELINE_ITERS_PER_SEC documents the assumption.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_ITERS_PER_SEC = 6.0  # assumed reference single-GPU rubble throughput
+
+N_GAUSSIANS = 500_000
+WIDTH, HEIGHT = 1152, 864
+WARMUP = 3
+ITERS = 20
+
+
+def bench_scene(n: int, seed: int = 0):
+    """Gaussians filling the camera frustum with realistic screen footprints."""
+    import jax.numpy as jnp
+
+    from dogs_tpu.core.gaussians import GaussianParams, inverse_sigmoid
+    from dogs_tpu.core.sh import rgb_to_sh
+
+    rng = np.random.RandomState(seed)
+    # Box in front of the camera (z in [2, 10]).
+    xyz = np.stack(
+        [
+            rng.uniform(-4.0, 4.0, n),
+            rng.uniform(-3.0, 3.0, n),
+            rng.uniform(2.0, 10.0, n),
+        ],
+        -1,
+    ).astype(np.float32)
+    # Screen radius ~ scale * f / z; aim for ~2-4 px at f~1000.
+    scale = (xyz[:, 2:3] / 1000.0) * rng.uniform(1.5, 4.0, (n, 1))
+    params = GaussianParams(
+        xyz=jnp.asarray(xyz),
+        feat_dc=rgb_to_sh(jnp.asarray(rng.rand(n, 3), jnp.float32))[:, None, :],
+        feat_rest=jnp.zeros((n, 15, 3), jnp.float32),
+        log_scale=jnp.asarray(np.log(np.repeat(scale, 3, 1)), jnp.float32),
+        quat=jnp.asarray(rng.randn(n, 4), jnp.float32),
+        logit_opacity=inverse_sigmoid(
+            jnp.asarray(rng.uniform(0.3, 0.9, (n, 1)), jnp.float32)
+        ),
+    )
+    return params
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dogs_tpu.core.camera import make_camera
+    from dogs_tpu.fields.model import GaussianModelState
+    from dogs_tpu.raster.tiled import RasterConfig
+    from dogs_tpu.train.optim import init_sparse_adam
+    from dogs_tpu.train.trainer import (
+        TrainerConfig,
+        TrainState,
+        make_train_step,
+    )
+
+    params = bench_scene(N_GAUSSIANS)
+    cam = make_camera(
+        R=np.eye(3), t=np.zeros(3), fx=1000.0, fy=1000.0,
+        cx=WIDTH / 2, cy=HEIGHT / 2, width=WIDTH, height=HEIGHT,
+    )
+    rng = np.random.RandomState(1)
+    gt = jnp.asarray(rng.rand(HEIGHT, WIDTH, 3), jnp.float32)
+
+    capacity = params.capacity
+    model = GaussianModelState(
+        params=params,
+        alive=jnp.ones((capacity,), bool),
+        grad_accum=jnp.zeros((capacity,)),
+        denom=jnp.zeros((capacity,)),
+        max_radii2d=jnp.zeros((capacity,)),
+    )
+    ts = TrainState(
+        model=model,
+        opt=init_sparse_adam(params),
+        exposure=jnp.tile(jnp.eye(3, 4)[None], (1, 1, 1)),
+        exposure_mu=jnp.zeros((1, 3, 4)),
+        exposure_nu=jnp.zeros((1, 3, 4)),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    cfg = TrainerConfig(max_iterations=30000)
+    raster_cfg = RasterConfig(tile_batch=256, chunk=64, max_tiles_per_gaussian=16)
+    step = make_train_step(
+        cfg, raster_cfg, spatial_lr_scale=5.0, active_sh_degree=3,
+        background=(0.0, 0.0, 0.0),
+    )
+
+    for _ in range(WARMUP):
+        ts, metrics = step(ts, cam, gt)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        ts, metrics = step(ts, cam, gt)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    its = ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rubble_like_500k_1152x864_full_train_step",
+                "value": round(its, 3),
+                "unit": "iters/sec",
+                "vs_baseline": round(its / BASELINE_ITERS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,339 @@
+"""Block-parallel ADMM consensus training over a jax.sharding.Mesh.
+
+TPU-native re-design of the reference's distributed ADMM stack
+(conerf/trainers/master_gaussian_trainer.py:201-786 +
+slave_gaussian_trainer.py:15-263). The reference runs a master process that
+drives per-GPU slave trainers over torch.distributed.rpc (TensorPipe over
+ethernet); all tensor traffic is explicit RPC pushes/pulls. Here the whole
+thing is ONE SPMD program over a device mesh with a "block" axis:
+
+  * each mesh shard owns one spatial block: its padded Gaussian buffer x_k,
+    scaled dual u_k, Adam state, and an int32 `slot_map` from local slots to
+    global consensus slots (built host-side at (re)partition time, mirroring
+    the master's global_indices, master_gaussian_trainer.py:124-172);
+  * a training step is the single-device step + the scaled-dual penalty
+    sum_p 0.5*rho_p*mean((x+u-z)^2) (slave:161-202), shard_mapped over the
+    mesh — no RPC, no parameter server;
+  * consensus every `consensus_interval` steps is one compiled collective:
+    scatter-add x into a zero global buffer at slot_map, `psum` over the
+    block axis (rides ICI instead of the reference's ethernet), divide by
+    visibility counts (master:538-555 gaussian_splat_consensus +
+    gaussian_splat_model.py:316-340 plus/average_gaussians), gather back,
+    over-relaxed dual update u += (1+alpha)(x-z) (slave:99-121);
+  * primal/dual residuals psum along the way (master:395-456) and the
+    residual-balancing rho adaptation (master:336-377) runs host-side on
+    those scalars.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dogs_tpu.core.camera import Camera
+from dogs_tpu.core.gaussians import GaussianParams
+from dogs_tpu.raster.tiled import RasterConfig
+from dogs_tpu.train.trainer import TrainerConfig, TrainState, make_train_step
+
+BLOCK_AXIS = "block"
+
+
+@dataclasses.dataclass(frozen=True)
+class AdmmConfig:
+    """trainer.admm block of urban3d_admm.yaml:42-55."""
+
+    enable: bool = True
+    consensus_interval: int = 200
+    over_relaxation_coeff: float = 0.5
+    alpha_xyz: float = 1e5
+    alpha_fdc: float = 1e4
+    alpha_fr: float = 1e5
+    alpha_s: float = 1e4
+    alpha_q: float = 1e5
+    alpha_o: float = 1e4
+    stop_adapt_iter: int = 32000
+    mu: float = 10.0
+    tau_inc: float = 2.0
+    tau_dec: float = 2.0
+
+    def initial_rho(self, num_gaussians: int) -> GaussianParams:
+        """rho_p = alpha_p / num_global_gaussians
+        (master_gaussian_trainer.py:326-334 setup_penalty_parameters)."""
+        s = 1.0 / max(num_gaussians, 1)
+        return GaussianParams(
+            xyz=jnp.float32(s * self.alpha_xyz),
+            feat_dc=jnp.float32(s * self.alpha_fdc),
+            feat_rest=jnp.float32(s * self.alpha_fr),
+            log_scale=jnp.float32(s * self.alpha_s),
+            quat=jnp.float32(s * self.alpha_q),
+            logit_opacity=jnp.float32(s * self.alpha_o),
+        )
+
+
+@flax.struct.dataclass
+class AdmmBlockState:
+    """Per-block distributed state; every leaf has leading dim B (blocks),
+    sharded over the mesh 'block' axis."""
+
+    train: TrainState  # leaves (B, ...)
+    u: GaussianParams  # duals, (B, C, ...)
+    slot_map: jnp.ndarray  # (B, C) int32 global slot, == n_global if private
+    z_local: GaussianParams  # cached consensus gathered to block slots (B, C, ...)
+
+
+def make_slot_maps(
+    global_ids_per_block: list[np.ndarray], capacity: int, n_global: int
+) -> np.ndarray:
+    """Host-side: per-block local-slot -> global-slot map (the master's
+    global_indices, padded to the fixed block capacity)."""
+    b = len(global_ids_per_block)
+    out = np.full((b, capacity), n_global, np.int32)
+    for k, ids in enumerate(global_ids_per_block):
+        out[k, : len(ids)] = ids
+    return out
+
+
+def _scatter_to_global(x, slot_map, weight, n_global):
+    """(C, ...) block values -> (G+1, ...) partial sums (row G = dropped)."""
+    w = weight.reshape((-1,) + (1,) * (x.ndim - 1))
+    target_shape = (n_global + 1,) + x.shape[1:]
+    return jnp.zeros(target_shape, x.dtype).at[slot_map].add(x * w)
+
+
+def consensus_zsum(
+    params: GaussianParams,
+    alive: jnp.ndarray,
+    slot_map: jnp.ndarray,
+    n_global: int,
+    axis_name: str = BLOCK_AXIS,
+) -> tuple[GaussianParams, jnp.ndarray]:
+    """Inside shard_map: psum-reduced global average z and counts.
+
+    z[g] = sum_k alive_k(g) * x_k[g] / count(g)  — the visibility-weighted
+    parameter-space average (master:538-555; averaging RAW pre-activation
+    values incl. unnormalized quats, per SURVEY §7).
+    """
+    w = alive.astype(jnp.float32)
+    partial = jax.tree.map(
+        lambda x: _scatter_to_global(x, slot_map, w, n_global), params
+    )
+    counts = jnp.zeros((n_global + 1,), jnp.float32).at[slot_map].add(w)
+    summed = jax.lax.psum(partial, axis_name)
+    counts = jax.lax.psum(counts, axis_name)
+    denom = jnp.maximum(counts, 1.0)
+    z = jax.tree.map(
+        lambda s: s[:n_global] / denom[:n_global].reshape((-1,) + (1,) * (s.ndim - 1)),
+        summed,
+    )
+    return z, counts[:n_global]
+
+
+def gather_z_local(z: GaussianParams, slot_map: jnp.ndarray) -> GaussianParams:
+    """Global z -> block-local slices (master:522-535 broadcast, as a gather).
+    Private slots (slot_map == G) read garbage row; callers mask by alive."""
+    g = z.xyz.shape[0]
+    idx = jnp.minimum(slot_map, g - 1)
+    return jax.tree.map(lambda a: a[idx], z)
+
+
+def dual_update(
+    u: GaussianParams,
+    x: GaussianParams,
+    z_local: GaussianParams,
+    alive: jnp.ndarray,
+    over_relaxation_coeff: float,
+) -> GaussianParams:
+    """u += (1 + alpha) * (x - z) on alive slots (slave:99-121)."""
+    f = 1.0 + over_relaxation_coeff
+
+    def leaf(u_p, x_p, z_p):
+        mask = alive.reshape((-1,) + (1,) * (x_p.ndim - 1))
+        return jnp.where(mask, u_p + f * (x_p - z_p), u_p)
+
+    return jax.tree.map(leaf, u, x, z_local)
+
+
+def block_residuals(
+    x: GaussianParams,
+    z_local_new: GaussianParams,
+    z_local_old: GaussianParams,
+    alive: jnp.ndarray,
+    rho: GaussianParams,
+    axis_name: str = BLOCK_AXIS,
+):
+    """(primal, dual) per-property residual pytrees, psum'd over blocks.
+
+    primal_p = sum_k mean((z - x_k)^2)   (master:399-433)
+    dual_p   = rho_p * mean((z_new - z_old)^2)  (master:438-456; the mean is
+    over the global model there — here over block slices, same signal).
+    """
+    n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
+
+    def mse(a, b):
+        mask = alive.reshape((-1,) + (1,) * (a.ndim - 1))
+        per_elem = jnp.where(mask, (a - b) ** 2, 0.0)
+        return jnp.sum(per_elem) / (n_alive * float(np.prod(a.shape[1:])))
+
+    primal = jax.tree.map(lambda xp, zp: mse(xp, zp), x, z_local_new)
+    dual = jax.tree.map(
+        lambda zn, zo, r: r * mse(zn, zo), z_local_new, z_local_old, rho
+    )
+    primal = jax.lax.psum(primal, axis_name)
+    # Dual residual: average over blocks (the z slices repeat shared slots).
+    dual = jax.tree.map(
+        lambda d: d / jax.lax.psum(1.0, axis_name), jax.lax.psum(dual, axis_name)
+    )
+    return primal, dual
+
+
+def adapt_rho(
+    rho: GaussianParams,
+    primal: GaussianParams,
+    dual: GaussianParams,
+    cfg: AdmmConfig,
+) -> GaussianParams:
+    """Residual-balancing (master:336-377): grow rho when primal dominates,
+    shrink when dual dominates. Pure function — host calls it on fetched
+    residual scalars until stop_adapt_iter."""
+
+    def leaf(r, p, d):
+        r = jnp.asarray(r, jnp.float32)
+        grow = p > cfg.mu * d
+        shrink = d > cfg.mu * p
+        return jnp.where(grow, r * cfg.tau_inc, jnp.where(shrink, r / cfg.tau_dec, r))
+
+    return jax.tree.map(leaf, rho, primal, dual)
+
+
+def build_admm_state(
+    global_points: np.ndarray,
+    global_colors: np.ndarray,
+    block_ids: list[np.ndarray],
+    n_images_per_block: int,
+    cfg: TrainerConfig,
+    capacity: int | None = None,
+) -> AdmmBlockState:
+    """Host-side distributed-state construction.
+
+    Mirrors the master's init_block_trainers + setup_dual_variables flow
+    (master:252-273, slave:81-97): block k gets the sub-cloud
+    global_points[block_ids[k]], zero duals, and z_local initialized to its
+    own x (zero initial penalty). All blocks share one padded capacity.
+    """
+    from dogs_tpu.core.gaussians import round_up_capacity
+    from dogs_tpu.train.trainer import init_train_state
+
+    b = len(block_ids)
+    max_n = max(len(ids) for ids in block_ids)
+    cap = capacity or round_up_capacity(max_n, cfg.min_capacity)
+
+    states = []
+    for ids in block_ids:
+        ts = init_train_state(
+            global_points[ids], global_colors[ids], n_images_per_block,
+            dataclasses.replace(cfg, min_capacity=cap),
+        )
+        states.append(ts)
+    train = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    slot_map = jnp.asarray(
+        make_slot_maps(block_ids, cap, len(global_points))
+    )
+    u = jax.tree.map(jnp.zeros_like, train.model.params)
+    z_local = jax.tree.map(lambda a: a.copy(), train.model.params)
+    return AdmmBlockState(train=train, u=u, slot_map=slot_map, z_local=z_local)
+
+
+# --------------------------------------------------------------------------
+# Mesh-level compiled steps
+# --------------------------------------------------------------------------
+
+
+def block_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P(BLOCK_AXIS))
+
+
+def make_distributed_train_step(
+    mesh: Mesh,
+    cfg: TrainerConfig,
+    raster_cfg: RasterConfig,
+    spatial_lr_scale: float,
+    active_sh_degree: int,
+    background: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    admm_enabled: bool = True,
+) -> Callable:
+    """One SPMD training step: every block trains on its own camera.
+
+    Inputs have leading block dim B == mesh size; rho is replicated.
+    Returns (state, metrics) with metrics psum-averaged over blocks.
+    """
+    inner = make_train_step(
+        cfg, raster_cfg, spatial_lr_scale, active_sh_degree, background,
+        admm=admm_enabled, jit=False,
+    )
+
+    def per_shard(state: AdmmBlockState, camera: Camera, gt: jnp.ndarray, rho):
+        # shard_map hands us leading dim 1; drop it.
+        sq = lambda t: jax.tree.map(lambda a: a[0], t)
+        st: AdmmBlockState = sq(state)
+        cam = sq(camera)
+        gt0 = gt[0]
+        if admm_enabled:
+            new_train, metrics = inner(st.train, cam, gt0, st.u, st.z_local, rho)
+        else:
+            new_train, metrics = inner(st.train, cam, gt0)
+        metrics = {
+            k: jax.lax.pmean(v, BLOCK_AXIS) for k, v in metrics.items()
+        }
+        new_state = st.replace(train=new_train)
+        ex = lambda t: jax.tree.map(lambda a: a[None], t)
+        return ex(new_state), metrics
+
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS), P()),
+        out_specs=(P(BLOCK_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def make_consensus_step(
+    mesh: Mesh,
+    n_global: int,
+    admm_cfg: AdmmConfig,
+) -> Callable:
+    """One compiled consensus round (master:665-728 steps 3-6, minus the
+    host-side rho adaptation): z-average via psum over ICI, dual update,
+    residuals. Returns (state, z, counts, primal, dual)."""
+
+    def per_shard(state: AdmmBlockState, rho):
+        sq = lambda t: jax.tree.map(lambda a: a[0], t)
+        st: AdmmBlockState = sq(state)
+        alive = st.train.model.alive
+        x = st.train.model.params
+        z, counts = consensus_zsum(x, alive, st.slot_map, n_global)
+        z_local_new = gather_z_local(z, st.slot_map)
+        new_u = dual_update(
+            st.u, x, z_local_new, alive, admm_cfg.over_relaxation_coeff
+        )
+        primal, dual = block_residuals(x, z_local_new, st.z_local, alive, rho)
+        new_state = st.replace(u=new_u, z_local=z_local_new)
+        ex = lambda t: jax.tree.map(lambda a: a[None], t)
+        return ex(new_state), z, counts, primal, dual
+
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P()),
+        out_specs=(P(BLOCK_AXIS), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))

@@ -176,17 +176,25 @@ def make_train_step(
     spatial_lr_scale: float,
     active_sh_degree: int,
     background: tuple[float, float, float],
+    admm: bool = False,
+    jit: bool = True,
 ) -> Callable:
     """Build the jitted train step for one (sh_degree, image-shape) bucket.
 
     The returned function is `train_step(ts, camera, gt_image) -> (ts, metrics)`
     and mirrors gaussian_trainer.py:324-513 train_iteration minus the host
     concerns (densify triggers, checkpointing, logging cadence).
+
+    With `admm=True` the signature becomes
+    `train_step(ts, camera, gt, u, z_local, rho)` and the scaled-dual ADMM
+    penalty sum_p 0.5*rho_p*mean((x_p + u_p - z_p)^2) is added to the loss
+    (slave_gaussian_trainer.py:161-202 add_admm_penalties); used by the
+    block-parallel trainer (dogs_tpu/parallel/admm.py).
     """
     lrs_fn, exposure_lr_fn = make_lr_schedules(cfg, spatial_lr_scale)
     bg = jnp.asarray(background, jnp.float32)
 
-    def loss_fn(params, offset, exposure_row, camera, gt, alive):
+    def loss_fn(params, offset, exposure_row, camera, gt, alive, admm_args):
         out = render_tiled(
             params,
             camera,
@@ -209,6 +217,17 @@ def make_train_step(
         vol = jnp.prod(params.scale, axis=-1)
         loss_scaling = jnp.sum(jnp.where(alive, vol, 0.0)) / n_alive
         loss = loss + cfg.lambda_scale * loss_scaling
+        if admm_args is not None:
+            u, z_local, rho = admm_args
+            for x_p, u_p, z_p, rho_p in zip(
+                params.astuple(), u.astuple(), z_local.astuple(), rho.astuple()
+            ):
+                mask = alive.reshape((-1,) + (1,) * (x_p.ndim - 1))
+                sq = jnp.where(mask, (x_p + u_p - z_p) ** 2, 0.0)
+                denom = jnp.maximum(
+                    n_alive * float(np.prod(x_p.shape[1:])), 1.0
+                )
+                loss = loss + 0.5 * rho_p * jnp.sum(sq) / denom
         mse = jnp.mean((img - gt) ** 2)
         psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
         aux = dict(
@@ -217,12 +236,20 @@ def make_train_step(
         )
         return loss, aux
 
-    def train_step(ts: TrainState, camera: Camera, gt: jnp.ndarray):
+    def train_step(ts: TrainState, camera: Camera, gt: jnp.ndarray, *admm_in):
+        admm_args = None
+        if admm:
+            u, z_local, rho = admm_in
+            admm_args = (
+                jax.lax.stop_gradient(u),
+                jax.lax.stop_gradient(z_local),
+                rho,
+            )
         params = ts.model.params
         offset = jnp.zeros((params.capacity, 2), jnp.float32)
         exposure_row = ts.exposure[camera.image_index]
         (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
-            params, offset, exposure_row, camera, gt, ts.model.alive
+            params, offset, exposure_row, camera, gt, ts.model.alive, admm_args
         )
         g_params, g_offset, g_exposure = grads
         radii = aux["radii"]
@@ -277,6 +304,8 @@ def make_train_step(
         )
         return new_ts, metrics
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
 
 
