@@ -100,7 +100,9 @@ def main():
     )
 
     cfg = TrainerConfig(max_iterations=30000)
-    raster_cfg = RasterConfig(tile_batch=256, chunk=64, max_tiles_per_gaussian=16)
+    raster_cfg = RasterConfig(
+        max_tiles_per_gaussian=16, bin_capacity=2_000_000, use_pallas=True
+    )
     step = make_train_step(
         cfg, raster_cfg, spatial_lr_scale=5.0, active_sh_degree=3,
         background=(0.0, 0.0, 0.0),

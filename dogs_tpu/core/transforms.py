@@ -126,6 +126,35 @@ def build_covariance_3d(scale: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=HIGHEST)
 
 
+def covariance_sym6(scale: jnp.ndarray, quat: jnp.ndarray) -> tuple:
+    """Sigma = R S S^T R^T as its 6 unique components, fully scalarized.
+
+    Returns (s11, s12, s13, s22, s23, s33), each (...,). Identical math to
+    build_covariance_3d but lowers to one fused elementwise VPU pass instead
+    of tiny batched 3x3 matmuls (the rasterizer preprocess hot path).
+    """
+    q = normalize(quat)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    sx, sy, sz = scale[..., 0], scale[..., 1], scale[..., 2]
+    # Rotation matrix rows scaled by the per-axis scales: M = R diag(s).
+    m00 = (1.0 - 2.0 * (y * y + z * z)) * sx
+    m01 = (2.0 * (x * y - w * z)) * sy
+    m02 = (2.0 * (x * z + w * y)) * sz
+    m10 = (2.0 * (x * y + w * z)) * sx
+    m11 = (1.0 - 2.0 * (x * x + z * z)) * sy
+    m12 = (2.0 * (y * z - w * x)) * sz
+    m20 = (2.0 * (x * z - w * y)) * sx
+    m21 = (2.0 * (y * z + w * x)) * sy
+    m22 = (1.0 - 2.0 * (x * x + y * y)) * sz
+    s11 = m00 * m00 + m01 * m01 + m02 * m02
+    s12 = m00 * m10 + m01 * m11 + m02 * m12
+    s13 = m00 * m20 + m01 * m21 + m02 * m22
+    s22 = m10 * m10 + m11 * m11 + m12 * m12
+    s23 = m10 * m20 + m11 * m21 + m12 * m22
+    s33 = m20 * m20 + m21 * m21 + m22 * m22
+    return s11, s12, s13, s22, s23, s33
+
+
 def covariance_to_symmetric6(cov: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, 3) -> (..., 6) upper-triangular strip (strip_symmetric)."""
     return jnp.stack(

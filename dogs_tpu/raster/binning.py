@@ -32,6 +32,7 @@ class TileBins:
     """Sorted splat lists per tile. M = N * max_tiles_per_gaussian."""
 
     sorted_idx: jnp.ndarray  # (M,) gaussian index per entry (depth-sorted per tile)
+    sorted_tile: jnp.ndarray  # (M,) tile id per entry (sentinel n_tiles = invalid)
     tile_starts: jnp.ndarray  # (n_tiles + 1,) range offsets into sorted_idx
     num_valid: jnp.ndarray  # () total valid entries (diagnostics)
     num_truncated: jnp.ndarray  # () gaussians whose rect exceeded the budget
@@ -64,6 +65,7 @@ def build_tile_bins(
     tile_size: int = 16,
     max_tiles_per_gaussian: int = 25,
     tile_culling: bool = True,
+    bin_capacity: int | None = None,
 ) -> TileBins:
     """Bin projected Gaussians into per-tile depth-ordered index lists."""
     n_tiles_x = -(-width // tile_size)
@@ -131,23 +133,44 @@ def build_tile_bins(
         max_alpha = proj.opacity[:, None] * jnp.exp(-q)
         valid = valid & (max_alpha >= ALPHA_MIN)
 
-    tile_key = jnp.where(valid, tiy * n_tiles_x + tix, sentinel).reshape(-1)
-    depth_key = jnp.broadcast_to(proj.depth[:, None], (n, mt)).reshape(-1)
-    payload = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, mt)
-    ).reshape(-1)
+    tile_flat = jnp.where(valid, tiy * n_tiles_x + tix, sentinel).reshape(-1)
+    flat_valid = valid.reshape(-1)
+    num_valid = jnp.sum(flat_valid.astype(jnp.int32))
 
-    sorted_tile, _, sorted_idx = jax.lax.sort(
-        (tile_key, depth_key, payload), num_keys=2
-    )
+    # Pack (tile, depth) into ONE int32 sort key: tile in the top bits, the
+    # top `depth_bits` of the positive-float bit pattern below (positive f32
+    # bits compare monotonically as ints, so truncating just quantizes the
+    # depth ORDER — ~1e-3 relative resolution, far below any visible effect).
+    # Halving the sort operands nearly halves the dominant lax.sort cost.
+    depth_bits = max(30 - max(n_tiles.bit_length(), 1), 8)
+    assert (n_tiles << depth_bits) < 2**31, (n_tiles, depth_bits)
+    dq = jax.lax.bitcast_convert_type(
+        jnp.maximum(proj.depth, 1e-12), jnp.int32
+    ) >> (31 - depth_bits)
+    dq = jnp.broadcast_to(dq[:, None], (n, mt)).reshape(-1)
+    key = (tile_flat << depth_bits) | jnp.where(flat_valid, dq, 0)
+    payload = jnp.arange(n * mt, dtype=jnp.int32)  # flat candidate id
+
+    # Sort ALL candidates (invalid ones carry the sentinel tile and land at
+    # the end), then keep the first bin_capacity. Measured on v5e this beats
+    # compact-then-sort: the compaction scatter costs more than the larger
+    # sort (scatter time scales with SOURCE size, ~40ms at 8M candidates).
+    sorted_key, sorted_flat = jax.lax.sort((key, payload), num_keys=1)
+    if bin_capacity is not None and bin_capacity < n * mt:
+        k = bin_capacity
+        sorted_key = sorted_key[:k]
+        sorted_flat = sorted_flat[:k]
+    sorted_tile = sorted_key >> depth_bits
+    sorted_idx = sorted_flat // mt  # gaussian id
     tile_starts = jnp.searchsorted(
         sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
     return TileBins(
         sorted_idx=sorted_idx,
+        sorted_tile=sorted_tile,
         tile_starts=tile_starts,
-        num_valid=jnp.sum(valid.astype(jnp.int32)),
+        num_valid=num_valid,
         num_truncated=jnp.sum(truncated.astype(jnp.int32)),
     )
 

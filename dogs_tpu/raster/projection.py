@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from dogs_tpu.core.camera import Camera
 from dogs_tpu.core.gaussians import GaussianParams
 from dogs_tpu.core.sh import eval_sh
-from dogs_tpu.core.transforms import HIGHEST, build_covariance_3d
+from dogs_tpu.core.transforms import HIGHEST, covariance_sym6
 
 # Matches the CUDA kernel's constants (auxiliary.h / forward.cu).
 LOW_PASS_FILTER = 0.3
@@ -51,35 +51,54 @@ def compute_cov2d(
 ) -> jnp.ndarray:
     """EWA projection of 3D covariance to screen space (forward.cu:79-117).
 
+    Args:
+      cov3d: 6-tuple (s11, s12, s13, s22, s23, s33) from
+        `dogs_tpu.core.transforms.covariance_sym6`.
+
     Returns (C, 2, 2) BEFORE the low-pass blur is added.
+
+    Written as explicit per-component VPU math rather than tiny batched 3x3
+    matmuls: XLA lowers (N,2,3)@(N,3,3) chains to an awkward batched-matmul
+    pattern on TPU, while the expanded form fuses into one elementwise pass.
     """
     z = p_cam[..., 2]
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
     txtz = jnp.clip(p_cam[..., 0] / z, -limx, limx)
     tytz = jnp.clip(p_cam[..., 1] / z, -limy, limy)
-    x = txtz * z
-    y = tytz * z
 
-    zero = jnp.zeros_like(z)
-    # Jacobian of the perspective projection (2x3), per Gaussian.
-    j00 = fx / z
-    j02 = -fx * x / (z * z)
-    j11 = fy / z
-    j12 = -fy * y / (z * z)
-    J = jnp.stack(
-        [
-            jnp.stack([j00, zero, j02], axis=-1),
-            jnp.stack([zero, j11, j12], axis=-1),
-        ],
-        axis=-2,
-    )  # (C, 2, 3)
-    T = jnp.matmul(J, R_w2c, precision=HIGHEST)  # (C, 2, 3)
-    return jnp.matmul(
-        jnp.matmul(T, cov3d, precision=HIGHEST),
-        jnp.swapaxes(T, -1, -2),
-        precision=HIGHEST,
-    )
+    inv_z = 1.0 / z
+    j00 = fx * inv_z
+    j02 = -fx * txtz * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * tytz * inv_z
+
+    # T = J @ W, rows t0 (from j00,j02) and t1 (from j11,j12); W = R_w2c.
+    w0 = R_w2c[0]
+    w1 = R_w2c[1]
+    w2 = R_w2c[2]
+    t0 = j00[:, None] * w0 + j02[:, None] * w2  # (C, 3)
+    t1 = j11[:, None] * w1 + j12[:, None] * w2  # (C, 3)
+
+    s11, s12, s13, s22, s23, s33 = cov3d
+
+    def quad(u, v):
+        # u . Sigma . v with symmetric Sigma in 6-component form.
+        return (
+            u[:, 0] * v[:, 0] * s11
+            + u[:, 1] * v[:, 1] * s22
+            + u[:, 2] * v[:, 2] * s33
+            + (u[:, 0] * v[:, 1] + u[:, 1] * v[:, 0]) * s12
+            + (u[:, 0] * v[:, 2] + u[:, 2] * v[:, 0]) * s13
+            + (u[:, 1] * v[:, 2] + u[:, 2] * v[:, 1]) * s23
+        )
+
+    a = quad(t0, t0)
+    b = quad(t0, t1)
+    c = quad(t1, t1)
+    row0 = jnp.stack([a, b], axis=-1)
+    row1 = jnp.stack([b, c], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
 
 
 def project_gaussians(
@@ -119,7 +138,7 @@ def project_gaussians(
         means2d = means2d + means2d_offset
 
     scale = params.scale * scale_modifier
-    cov3d = build_covariance_3d(scale, params.quat)
+    cov3d = covariance_sym6(scale, params.quat)
     p_cam_safe = jnp.where(in_front[:, None], p_cam, jnp.ones_like(p_cam))
     cov2d_raw = compute_cov2d(
         cov3d,

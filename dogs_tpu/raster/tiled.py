@@ -5,8 +5,16 @@ TPU-native re-design of the CUDA tile rasterizer
 backward). The CUDA design — ragged per-tile lists, shared-memory staging,
 per-warp bucket replay — does not map to XLA; instead:
 
-  forward:  project (XLA, see projection.py) -> bin+sort (binning.py) ->
-            per-tile-batch chunked alpha blending. Transmittance is tracked
+  binning:  project (XLA, projection.py) -> compact -> one lax.sort over
+            (tile, depth) keys (binning.py), then ONE gather materializes the
+            per-entry blend data in sorted order (the "entry matrix",
+            K x 12 f32). The hot blend loops then only touch contiguous or
+            near-contiguous rows of this matrix instead of random-gathering
+            6 separate N-sized arrays per chunk. The gather's own VJP (a
+            scatter-add back to the N-space parameters) is left to XLA
+            autodiff.
+
+  forward:  per-tile-batch chunked alpha blending. Transmittance is tracked
             in log space; the per-chunk inclusive cumsum of log(1-alpha)
             replaces the sequential `T *= (1-alpha)` loop with a parallel
             prefix op that the VPU eats whole. A `while_loop` gives each tile
@@ -17,9 +25,11 @@ per-warp bucket replay — does not map to XLA; instead:
   backward: replays the same chunk schedule front-to-back (the classic 3DGS
             recompute-from-totals backward rather than Taming's bucket
             snapshots — zero per-splat residual memory). The only residuals
-            are the forward outputs themselves. Per-splat gradients reduce
-            over the tile's pixels then scatter-add into the N-space buffers
-            (the XLA analogue of backward.cu's warp-reduction + atomicAdd).
+            are the forward outputs themselves. Per-entry gradients reduce
+            over the tile's pixels and are written at UNIQUE entry positions
+            (each sorted entry belongs to exactly one tile), so the backward
+            has no atomics at all; the single K->N reduction happens in the
+            autodiff of the entry gather.
 
 Gradient identity used (per pixel, splats in blend order, w_i = a_i * T_i):
   dL/da_i = (gC.c_i + gA + gD d_i) T_i - (Gtot - prefixG_i) / (1 - a_i)
@@ -44,6 +54,10 @@ from dogs_tpu.raster.reference import RenderOutput
 
 LOG_TMIN = math.log(1e-4)  # CUDA early-out threshold (forward.cu T < 1e-4)
 
+# Entry-matrix columns.
+_MUX, _MUY, _CA, _CB, _CC, _R, _G, _B, _OPA, _INVD, _DEPTH = range(11)
+ENT_WIDTH = 16  # padded for sublane-aligned DMA in the Pallas kernels
+
 
 @dataclasses.dataclass(frozen=True)
 class RasterConfig:
@@ -56,6 +70,9 @@ class RasterConfig:
     antialiasing: bool = False
     tile_culling: bool = True
     depth_threshold: float = 0.0  # near-Gaussian grad damping (see backward)
+    bin_capacity: int | None = None  # sorted-entry budget; None = N * max_tiles
+    use_pallas: bool = False  # Pallas blend kernels (TPU; interpreted on CPU)
+    pallas_chunk: int = 128  # entries per DMA chunk (lane-aligned)
 
 
 def _pixel_coords(tiles: jnp.ndarray, n_tiles_x: int, ts: int):
@@ -70,29 +87,26 @@ def _pixel_coords(tiles: jnp.ndarray, n_tiles_x: int, ts: int):
     return px.astype(jnp.float32) + 0.5, py.astype(jnp.float32) + 0.5
 
 
-def _chunk_alphas(mu, con, opa, px, py, valid):
-    """Alpha for a gathered chunk. mu (TB,K,2) con (TB,K,3) opa (TB,K),
-    px/py (TB,P), valid (TB,K) -> alpha (TB,K,P), plus (dx, dy, power)."""
-    dx = px[:, None, :] - mu[:, :, 0:1]
-    dy = py[:, None, :] - mu[:, :, 1:2]
-    a = con[:, :, 0:1]
-    b = con[:, :, 1:2]
-    c = con[:, :, 2:3]
+def _chunk_alphas(rows, px, py, valid):
+    """Alpha for a gathered entry chunk. rows (TB,K,12), px/py (TB,P),
+    valid (TB,K) -> alpha (TB,K,P), plus (dx, dy, power)."""
+    dx = px[:, None, :] - rows[:, :, _MUX, None]
+    dy = py[:, None, :] - rows[:, :, _MUY, None]
+    a = rows[:, :, _CA, None]
+    b = rows[:, :, _CB, None]
+    c = rows[:, :, _CC, None]
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    alpha = jnp.minimum(0.99, opa[:, :, None] * jnp.exp(jnp.minimum(power, 0.0)))
+    alpha = jnp.minimum(
+        0.99, rows[:, :, _OPA, None] * jnp.exp(jnp.minimum(power, 0.0))
+    )
     alpha = jnp.where((alpha >= ALPHA_MIN) & valid[:, :, None], alpha, 0.0)
     return alpha, dx, dy, power
 
 
 def _blend_with_vjp(
     bins: TileBins,
-    means2d: jnp.ndarray,
-    conic: jnp.ndarray,
-    color: jnp.ndarray,
-    opacity: jnp.ndarray,
-    invd: jnp.ndarray,
+    sorted_ent: jnp.ndarray,  # (K, ENT_WIDTH) entry matrix in sorted order
     background: jnp.ndarray,
-    depth: jnp.ndarray,
     n_tiles_y: int,
     n_tiles_x: int,
     cfg: RasterConfig,
@@ -111,10 +125,8 @@ def _blend_with_vjp(
     n_tiles = n_tiles_y * n_tiles_x
     n_batches = -(-n_tiles // tb)
     n_pad = n_batches * tb
-    m = bins.sorted_idx.shape[0]
-    n = means2d.shape[0]
+    m = sorted_ent.shape[0]
 
-    sorted_idx = bins.sorted_idx  # int32 — safe to close over
     starts_all = bins.tile_starts  # int32 — safe to close over
 
     def batch_ranges(b):
@@ -127,15 +139,12 @@ def _blend_with_vjp(
         px, py = _pixel_coords(tiles_c, n_tiles_x, ts)
         return s0, s1, px, py
 
-    def gather_chunk(s0, s1, step):
+    def chunk_positions(s0, s1, step):
         pos = s0[:, None] + step * k + jnp.arange(k, dtype=jnp.int32)[None, :]
         valid = pos < s1[:, None]
-        g = sorted_idx[jnp.minimum(pos, m - 1)]
-        g = jnp.where(valid, g, 0)
-        return g, valid
+        return jnp.minimum(pos, m - 1), valid
 
-    def forward_batch(b, arrs):
-        means2d_, conic_, color_, opacity_, invd_ = arrs
+    def forward_batch(b, ent):
         s0, s1, px, py = batch_ranges(b)
         max_cnt = jnp.max(s1 - s0)
 
@@ -146,21 +155,27 @@ def _blend_with_vjp(
 
         def body(st):
             step, log_t, acc_c, acc_a, acc_d = st
-            g, valid = gather_chunk(s0, s1, step)
-            alpha, _, _, _ = _chunk_alphas(
-                means2d_[g], conic_[g], opacity_[g], px, py, valid
-            )
+            pos, valid = chunk_positions(s0, s1, step)
+            rows = ent[pos]
+            alpha, _, _, _ = _chunk_alphas(rows, px, py, valid)
             lg = jnp.log1p(-alpha)
             cum = jnp.cumsum(lg, axis=1)
             log_t_incl = log_t[:, None, :] + cum
             w = jnp.where(
                 log_t_incl >= LOG_TMIN, alpha * jnp.exp(log_t_incl - lg), 0.0
             )
-            acc_c = acc_c + jnp.einsum(
-                "tkp,tkc->tpc", w, color_[g], precision=jax.lax.Precision.HIGHEST
+            # Channel-split reduction: sum_k w * color_c. A (TB,K,P)x(TB,K,3)
+            # einsum would hit the MXU with a size-3 output dim (40x padding
+            # waste); three VPU reduce passes are far faster.
+            acc_c = acc_c + jnp.stack(
+                [
+                    jnp.sum(w * rows[:, :, _R + c, None], axis=1)
+                    for c in range(3)
+                ],
+                axis=-1,
             )
             acc_a = acc_a + jnp.sum(w, axis=1)
-            acc_d = acc_d + jnp.sum(w * invd_[g][:, :, None], axis=1)
+            acc_d = acc_d + jnp.sum(w * rows[:, :, _INVD, None], axis=1)
             log_t = log_t + cum[:, -1, :]
             return step + 1, log_t, acc_c, acc_a, acc_d
 
@@ -174,12 +189,10 @@ def _blend_with_vjp(
         _, _, acc_c, acc_a, acc_d = jax.lax.while_loop(cond, body, init)
         return acc_c, acc_a, acc_d
 
-    def fwd_impl(means2d_, conic_, color_, opacity_, invd_, background_):
-        arrs = (means2d_, conic_, color_, opacity_, invd_)
-
+    def fwd_impl(ent, background_):
         def step(b, bufs):
             img, aa, dd = bufs
-            acc_c, acc_a, acc_d = forward_batch(b, arrs)
+            acc_c, acc_a, acc_d = forward_batch(b, ent)
             img = jax.lax.dynamic_update_slice(img, acc_c, (b * tb, 0, 0))
             aa = jax.lax.dynamic_update_slice(aa, acc_a, (b * tb, 0))
             dd = jax.lax.dynamic_update_slice(dd, acc_d, (b * tb, 0))
@@ -192,10 +205,9 @@ def _blend_with_vjp(
         img_out = img + (1.0 - aa)[..., None] * background_
         return img_out, aa, dd
 
-    def backward_batch(b, arrs, cot_c, cot_a_eff, cot_d, tot_c, tot_a, tot_d, grads):
+    def backward_batch(b, ent, cot_c, cot_a_eff, cot_d, tot_c, tot_a, tot_d, d_ent):
         """cot_* are (TB, P[,3]) effective cotangents for this batch;
-        tot_* the forward splat-only totals. Accumulates into `grads` (N+1,10)."""
-        means2d_, conic_, color_, opacity_, invd_, depth_ = arrs
+        tot_* the forward splat-only totals. Writes rows of d_ent (M+1, 12)."""
         s0, s1, px, py = batch_ranges(b)
         max_cnt = jnp.max(s1 - s0)
         # Per-pixel total G (see module docstring).
@@ -211,15 +223,10 @@ def _blend_with_vjp(
             return (step * k < max_cnt) & alive
 
         def body(st):
-            step, log_t, prefix_g, grads = st
-            g, valid = gather_chunk(s0, s1, step)
-            mu = means2d_[g]
-            con = conic_[g]
-            col = color_[g]
-            opa = opacity_[g]
-            dv = invd_[g]
-            dep = depth_[g]
-            alpha, dx, dy, power = _chunk_alphas(mu, con, opa, px, py, valid)
+            step, log_t, prefix_g, d_ent = st
+            pos, valid = chunk_positions(s0, s1, step)
+            rows = ent[pos]
+            alpha, dx, dy, power = _chunk_alphas(rows, px, py, valid)
             lg = jnp.log1p(-alpha)
             cum = jnp.cumsum(lg, axis=1)
             log_t_incl = log_t[:, None, :] + cum
@@ -227,13 +234,14 @@ def _blend_with_vjp(
             t_excl = jnp.exp(log_t_incl - lg)
             w = jnp.where(contributes, alpha * t_excl, 0.0)
 
-            # Per-splat per-pixel "direct" cotangent gC.c + gA + gD d.
+            # Per-splat per-pixel "direct" cotangent gC.c + gA + gD d,
+            # channel-split for the same MXU-padding reason as the forward.
             direct = (
-                jnp.einsum(
-                    "tpc,tkc->tkp", cot_c, col, precision=jax.lax.Precision.HIGHEST
-                )
+                rows[:, :, _R, None] * cot_c[:, None, :, 0]
+                + rows[:, :, _G, None] * cot_c[:, None, :, 1]
+                + rows[:, :, _B, None] * cot_c[:, None, :, 2]
                 + cot_a_eff[:, None, :]
-                + cot_d[:, None, :] * dv[:, :, None]
+                + cot_d[:, None, :] * rows[:, :, _INVD, None]
             )
             g_term = direct * w  # = G_j per (tile, splat, pixel)
             prefix_incl = prefix_g[:, None, :] + jnp.cumsum(g_term, axis=1)
@@ -249,9 +257,9 @@ def _blend_with_vjp(
             expp = jnp.exp(jnp.minimum(power, 0.0))
             d_opa = jnp.sum(d_alpha * expp, axis=2)  # (TB, K)
             d_power = d_alpha * alpha
-            a_ = con[:, :, 0:1]
-            b_ = con[:, :, 1:2]
-            c_ = con[:, :, 2:3]
+            a_ = rows[:, :, _CA, None]
+            b_ = rows[:, :, _CB, None]
+            c_ = rows[:, :, _CC, None]
             d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=2)
             d_cb = jnp.sum(d_power * (-dx * dy), axis=2)
             d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=2)
@@ -259,9 +267,10 @@ def _blend_with_vjp(
             # d(power)/d(mu_x) = a dx + b dy (sign flip through d).
             d_mux = jnp.sum(d_power * (a_ * dx + b_ * dy), axis=2)
             d_muy = jnp.sum(d_power * (c_ * dy + b_ * dx), axis=2)
-            # Color / invdepth grads.
-            d_col = jnp.einsum(
-                "tkp,tpc->tkc", w, cot_c, precision=jax.lax.Precision.HIGHEST
+            # Color / invdepth grads (channel-split, see forward).
+            d_col = jnp.stack(
+                [jnp.sum(w * cot_c[:, None, :, c], axis=2) for c in range(3)],
+                axis=-1,
             )
             d_dv = jnp.sum(w * cot_d[:, None, :], axis=2)
 
@@ -269,95 +278,230 @@ def _blend_with_vjp(
                 # Reference damps screen-space position grads for Gaussians
                 # closer than depth_threshold x scene scale
                 # (diff_gaussian_rasterization/__init__.py:171-185).
-                damp = jnp.minimum(1.0, (dep / cfg.depth_threshold) ** 2)
+                damp = jnp.minimum(
+                    1.0, (rows[:, :, _DEPTH] / cfg.depth_threshold) ** 2
+                )
                 d_mux = d_mux * damp
                 d_muy = d_muy * damp
 
+            zeros = jnp.zeros_like(d_opa)
             entry = jnp.stack(
-                [
-                    d_mux,
-                    d_muy,
-                    d_ca,
-                    d_cb,
-                    d_cc,
-                    d_col[:, :, 0],
-                    d_col[:, :, 1],
-                    d_col[:, :, 2],
-                    d_opa,
-                    d_dv,
-                ],
+                [d_mux, d_muy, d_ca, d_cb, d_cc,
+                 d_col[:, :, 0], d_col[:, :, 1], d_col[:, :, 2],
+                 d_opa, d_dv] + [zeros] * (ENT_WIDTH - 10),
                 axis=-1,
-            )  # (TB, K, 10)
-            idx = jnp.where(valid, g, n).reshape(-1)
-            grads = grads.at[idx].add(entry.reshape(-1, 10))
+            )  # (TB, K, ENT_WIDTH)
+            # Entry positions are globally unique (each sorted entry belongs
+            # to one tile) -> plain set, no atomics.
+            idx = jnp.where(valid, pos, m).reshape(-1)
+            d_ent = d_ent.at[idx].set(
+                entry.reshape(-1, ENT_WIDTH), mode="drop", unique_indices=True
+            )
             prefix_g = prefix_g + jnp.sum(g_term, axis=1)
             log_t = log_t + cum[:, -1, :]
-            return step + 1, log_t, prefix_g, grads
+            return step + 1, log_t, prefix_g, d_ent
 
         init = (
             jnp.int32(0),
             jnp.zeros((tb, p), jnp.float32),
             jnp.zeros((tb, p), jnp.float32),
-            grads,
+            d_ent,
         )
-        _, _, _, grads = jax.lax.while_loop(cond, body, init)
-        return grads
+        _, _, _, d_ent = jax.lax.while_loop(cond, body, init)
+        return d_ent
 
     @jax.custom_vjp
-    def blend(means2d_, conic_, color_, opacity_, invd_, background_, depth_):
-        del depth_  # only used in the backward (grad damping)
-        return fwd_impl(means2d_, conic_, color_, opacity_, invd_, background_)
+    def blend(ent, background_):
+        return fwd_impl(ent, background_)
 
-    def blend_fwd(means2d_, conic_, color_, opacity_, invd_, background_, depth_):
-        out = fwd_impl(means2d_, conic_, color_, opacity_, invd_, background_)
+    def blend_fwd(ent, background_):
+        out = fwd_impl(ent, background_)
         img_out, aa, dd = out
         tot_c = img_out - (1.0 - aa)[..., None] * background_  # splat-only
-        residual = (
-            means2d_, conic_, color_, opacity_, invd_, background_, depth_,
-            tot_c, aa, dd,
-        )
-        return out, residual
+        return out, (ent, background_, tot_c, aa, dd)
 
     def blend_bwd(res, cots):
-        (
-            means2d_, conic_, color_, opacity_, invd_, background_, depth_,
-            tot_c_all, tot_a_all, tot_d_all,
-        ) = res
+        ent, background_, tot_c_all, tot_a_all, tot_d_all = res
         cot_img, cot_a, cot_d_in = cots
         # image = C + (1-A) bg  =>  effective gA = cot_a - bg . cot_img.
         cot_a_eff_all = cot_a - jnp.einsum("c,tpc->tp", background_, cot_img)
         d_bg = jnp.einsum("tpc,tp->c", cot_img, 1.0 - tot_a_all)
-        arrs = (means2d_, conic_, color_, opacity_, invd_, depth_)
 
-        def step(b, grads):
+        def step(b, d_ent):
             sl = lambda arr: jax.lax.dynamic_slice_in_dim(arr, b * tb, tb, 0)
             return backward_batch(
                 b,
-                arrs,
+                ent,
                 sl(cot_img),
                 sl(cot_a_eff_all),
                 sl(cot_d_in),
                 sl(tot_c_all),
                 sl(tot_a_all),
                 sl(tot_d_all),
-                grads,
+                d_ent,
             )
 
-        grads = jnp.zeros((n + 1, 10), jnp.float32)
-        grads = jax.lax.fori_loop(0, n_batches, step, grads)
-        grads = grads[:n]
-        return (
-            grads[:, 0:2],  # means2d
-            grads[:, 2:5],  # conic
-            grads[:, 5:8],  # color
-            grads[:, 8],  # opacity
-            grads[:, 9],  # invd
-            d_bg,
-            jnp.zeros_like(depth),  # depth: backward-only input
-        )
+        d_ent = jnp.zeros((m + 1, ENT_WIDTH), jnp.float32)
+        d_ent = jax.lax.fori_loop(0, n_batches, step, d_ent)
+        return d_ent[:m], d_bg
 
     blend.defvjp(blend_fwd, blend_bwd)
-    return blend(means2d, conic, color, opacity, invd, background, depth)
+    return blend(sorted_ent, background)
+
+
+def _blend_with_vjp_pallas(
+    aligned_idx: jnp.ndarray,  # (K_al,) row of ent_ext per aligned slot
+    aligned_starts: jnp.ndarray,  # (T+1,)
+    ent_ext: jnp.ndarray,  # (N + trash, ENT_WIDTH)
+    background: jnp.ndarray,
+    n_tiles_y: int,
+    n_tiles_x: int,
+    cfg: RasterConfig,
+):
+    """Pallas-kernel blend with the same output contract as the XLA path.
+    Returns (image_tiles (T,P,3), A (T,P), D (T,P)), background composited.
+
+    The custom VJP owns the WHOLE aligned pipeline: the entry gather runs
+    inside the forward, and the backward reduces per-entry gradients to
+    N-space itself with a sort + bounded-run suffix-doubling segmented sum.
+    XLA's own scatter-add lowers at ~150M elem/s on v5e (~200ms for this
+    reduction); one lax.sort with the 16 gradient columns as payload plus
+    log2(max_tiles_per_gaussian) masked shift-adds does it in ~25ms.
+    """
+    from dogs_tpu.raster import pallas_blend
+
+    ts = cfg.tile_size
+    p = ts * ts
+    k_al = aligned_idx.shape[0]
+    n_ext = ent_ext.shape[0]
+    interpret = jax.default_backend() == "cpu"
+
+    def fwd_impl(ent_e, background_):
+        aligned_t = ent_e[aligned_idx].T  # (W, K_al)
+        out = pallas_blend.blend_forward_pallas(
+            aligned_t, aligned_starts, n_tiles_y, n_tiles_x, ts,
+            ch=cfg.pallas_chunk, interpret=interpret,
+        )  # (T, 8, P)
+        tot_c = jnp.moveaxis(out[:, 0:3, :], 1, 2)  # (T, P, 3)
+        aa = out[:, 3, :]
+        dd = out[:, 4, :]
+        img = tot_c + (1.0 - aa)[..., None] * background_
+        return (img, aa, dd), aligned_t
+
+    @jax.custom_vjp
+    def blend(ent_e, background_):
+        return fwd_impl(ent_e, background_)[0]
+
+    def blend_fwd(ent_e, background_):
+        out, aligned_t = fwd_impl(ent_e, background_)
+        img, aa, dd = out
+        tot_c = img - (1.0 - aa)[..., None] * background_
+        return out, (aligned_t, background_, tot_c, aa, dd)
+
+    def blend_bwd(res, cots):
+        aligned_t, background_, tot_c, aa, dd = res
+        cot_img, cot_a, cot_d = cots
+        cot_a_eff = cot_a - jnp.einsum("c,tpc->tp", background_, cot_img)
+        d_bg = jnp.einsum("tpc,tp->c", cot_img, 1.0 - aa)
+        g_tot = (
+            jnp.einsum("tpc,tpc->tp", cot_img, tot_c)
+            + cot_a_eff * aa
+            + cot_d * dd
+        )
+        cot = jnp.concatenate(
+            [
+                jnp.moveaxis(cot_img, 2, 1),  # rows 0-2
+                cot_a_eff[:, None, :],
+                cot_d[:, None, :],
+                g_tot[:, None, :],
+                jnp.zeros((cot_img.shape[0], 2, p), jnp.float32),
+            ],
+            axis=1,
+        )  # (T, 8, P)
+        d_ent_t = pallas_blend.blend_backward_pallas(
+            aligned_t, aligned_starts, cot, n_tiles_y, n_tiles_x,
+            ts, ch=cfg.pallas_chunk, depth_threshold=cfg.depth_threshold,
+            interpret=interpret,
+        )  # (W, K_al)
+
+        # ---- K_al -> N segmented reduction (sort is the TPU's scatter) ----
+        ops = (aligned_idx,) + tuple(d_ent_t[i] for i in range(ENT_WIDTH))
+        sorted_ops = jax.lax.sort(ops, num_keys=1)
+        sg = sorted_ops[0]
+        vals = jnp.stack(sorted_ops[1:], axis=-1)  # (K_al, W)
+        # Runs per gaussian are <= max_tiles_per_gaussian (<= 32): masked
+        # suffix-doubling turns each run's FIRST row into the run total.
+        # (Filler "trash" runs can be longer; they are never read.)
+        step = 1
+        while step < 2 * cfg.max_tiles_per_gaussian:
+            same = sg[:-step] == sg[step:]
+            shifted = jnp.where(same[:, None], vals[step:], 0.0)
+            vals = jnp.concatenate(
+                [vals[: k_al - step] + shifted, vals[k_al - step :]], axis=0
+            )
+            step *= 2
+        # First-row position of each gaussian's run.
+        e = jnp.arange(k_al, dtype=jnp.int32)
+        n_real = n_ext  # scatter over the full ext id space, slice later
+        bpos = jnp.full((n_real + 1,), k_al, jnp.int32).at[sg].min(e)
+        bpos = bpos[:n_real]
+        present = bpos < k_al
+        d_rows = jnp.where(
+            present[:, None], vals[jnp.minimum(bpos, k_al - 1)], 0.0
+        )
+        return d_rows, d_bg
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend(ent_ext, background)
+
+
+TRASH_ROWS = 4096  # zero rows fillers point at (spread to avoid collisions)
+
+
+def build_aligned_entries(
+    bins: TileBins,
+    n_gaussians: int,
+    n_tiles: int,
+    chunk: int,
+    k_aligned: int,
+):
+    """Chunk-aligned ragged entry layout for the Pallas kernels: each tile's
+    sorted run padded to a multiple of `chunk` with rows pointing at zero
+    "trash" entries. Returns (aligned_idx (K_al,), aligned_starts (T+1,)).
+
+    Built entirely from vector math + ONE scatter with a 2M source: the
+    naive construction gathers tile offsets per entry (2 x 2M-scalar gathers
+    ~ 28ms on v5e); here the per-entry pad offset is a cumsum over ~T scalar
+    deltas scattered at run starts (~1ms).
+    """
+    k = bins.sorted_idx.shape[0]
+    n = n_gaussians
+    starts = bins.tile_starts
+    counts = starts[1:] - starts[:-1]
+    aligned_counts = ((counts + chunk - 1) // chunk) * chunk
+    aligned_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_counts).astype(jnp.int32)]
+    )
+
+    # new_pos[e] = e + pad_before_tile(tile_of_e), where the pad offset is
+    # constant within a tile run: scatter per-tile deltas at run starts and
+    # integrate. Empty tiles stack their deltas on one position (add = ok).
+    shift = aligned_starts[:-1] - starts[:-1]  # (T,)
+    delta = jnp.diff(shift, prepend=jnp.zeros((1,), shift.dtype))
+    marks = jnp.zeros((k,), jnp.int32).at[jnp.minimum(starts[:-1], k - 1)].add(delta)
+    pad_cum = jnp.cumsum(marks)
+    e = jnp.arange(k, dtype=jnp.int32)
+    in_range = bins.sorted_tile < n_tiles
+    new_pos = jnp.where(in_range, e + pad_cum, k_aligned)
+
+    # Fillers must point at MANY DIFFERENT zero rows: concentrating them on
+    # one dummy row makes any downstream indexed op collision-bound.
+    base = n + (jnp.arange(k_aligned + 1, dtype=jnp.int32) % TRASH_ROWS)
+    base_at_pos = n + (new_pos % TRASH_ROWS)
+    aligned_idx = (
+        base.at[new_pos].add(bins.sorted_idx - base_at_pos, mode="drop")[:k_aligned]
+    )
+    return aligned_idx, aligned_starts
 
 
 def render_tiled(
@@ -396,25 +540,46 @@ def render_tiled(
         tile_size=ts,
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
         tile_culling=cfg.tile_culling,
+        bin_capacity=cfg.bin_capacity,
     )
     visible = proj.radius > 0.0
     opacity = jnp.where(visible, proj.opacity, 0.0)
     dsafe = jnp.where(visible, proj.depth, 1.0)
     invd = jnp.where(visible, 1.0 / dsafe, 0.0)
 
-    img_tiles, a_tiles, d_tiles = _blend_with_vjp(
-        bins,
-        proj.means2d,
-        proj.conic,
-        proj.color,
-        opacity,
-        invd,
-        background,
-        jax.lax.stop_gradient(dsafe),
-        n_tiles_y,
-        n_tiles_x,
-        cfg,
+    # Entry matrix in N-space, then ONE gather into sorted order. The VJP of
+    # this gather (scatter-add K -> N) is XLA autodiff's job.
+    ent_n = jnp.concatenate(
+        [
+            proj.means2d,
+            proj.conic,
+            proj.color,
+            opacity[:, None],
+            invd[:, None],
+            jax.lax.stop_gradient(dsafe)[:, None],
+            jnp.zeros((params.capacity, ENT_WIDTH - 11), jnp.float32),
+        ],
+        axis=1,
     )
+
+    if cfg.use_pallas:
+        k = bins.sorted_idx.shape[0]
+        k_aligned = k + n_tiles * cfg.pallas_chunk  # worst-case padding
+        aligned_idx, aligned_starts = build_aligned_entries(
+            bins, params.capacity, n_tiles, cfg.pallas_chunk, k_aligned
+        )
+        ent_ext = jnp.concatenate(
+            [ent_n, jnp.zeros((TRASH_ROWS, ENT_WIDTH), ent_n.dtype)], axis=0
+        )
+        img_tiles, a_tiles, d_tiles = _blend_with_vjp_pallas(
+            aligned_idx, aligned_starts, ent_ext, background,
+            n_tiles_y, n_tiles_x, cfg,
+        )
+    else:
+        sorted_ent = ent_n[bins.sorted_idx]
+        img_tiles, a_tiles, d_tiles = _blend_with_vjp(
+            bins, sorted_ent, background, n_tiles_y, n_tiles_x, cfg
+        )
 
     def untile(x):
         if x.ndim == 2:

@@ -1,0 +1,68 @@
+"""Pallas blend kernels vs the XLA blend path (interpret mode on CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dogs_tpu.raster.tiled import RasterConfig, render_tiled
+from tests.test_tiled_render import random_scene
+
+XLA_CFG = RasterConfig(tile_size=16, max_tiles_per_gaussian=36, tile_batch=8, chunk=16)
+PALLAS_CFG = dataclasses.replace(XLA_CFG, use_pallas=True)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_pallas_forward_matches_xla(seed):
+    params, cam = random_scene(seed=seed)
+    bg = jnp.asarray([0.15, 0.25, 0.35])
+    a = render_tiled(params, cam, XLA_CFG, background=bg, active_sh_degree=2)
+    b = render_tiled(params, cam, PALLAS_CFG, background=bg, active_sh_degree=2)
+    np.testing.assert_allclose(b.image, a.image, atol=3e-4)
+    np.testing.assert_allclose(b.alpha, a.alpha, atol=3e-4)
+    np.testing.assert_allclose(b.invdepth, a.invdepth, atol=3e-4)
+
+
+def test_pallas_grads_match_xla():
+    params, cam = random_scene(n=40, seed=5)
+    bg = jnp.asarray([0.1, 0.1, 0.1])
+    rng = np.random.RandomState(0)
+    target = jnp.asarray(rng.rand(cam.height, cam.width, 3).astype(np.float32))
+
+    def loss(cfg, p, offset):
+        out = render_tiled(
+            p, cam, cfg, background=bg, active_sh_degree=2, means2d_offset=offset
+        )
+        return (
+            jnp.sum((out.image - target) ** 2)
+            + 0.3 * jnp.sum(out.alpha**2)
+            + 0.1 * jnp.sum(out.invdepth**2)
+        )
+
+    offset0 = jnp.zeros((40, 2))
+    g_x = jax.grad(lambda p, o: loss(XLA_CFG, p, o), argnums=(0, 1))(params, offset0)
+    g_p = jax.grad(lambda p, o: loss(PALLAS_CFG, p, o), argnums=(0, 1))(params, offset0)
+    for name in ["xyz", "feat_dc", "feat_rest", "log_scale", "quat", "logit_opacity"]:
+        a = np.asarray(getattr(g_x[0], name))
+        b = np.asarray(getattr(g_p[0], name))
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-3, err_msg=name)
+    a, b = np.asarray(g_x[1]), np.asarray(g_p[1])
+    scale = np.abs(a).max() + 1e-6
+    np.testing.assert_allclose(b / scale, a / scale, atol=2e-3)
+
+
+def test_pallas_background_grad():
+    params, cam = random_scene(n=16, seed=6)
+
+    def loss(cfg, bg):
+        return jnp.sum(
+            render_tiled(params, cam, cfg, background=bg, active_sh_degree=2).image
+        )
+
+    bg0 = jnp.asarray([0.2, 0.4, 0.6])
+    g_x = jax.grad(lambda b: loss(XLA_CFG, b))(bg0)
+    g_p = jax.grad(lambda b: loss(PALLAS_CFG, b))(bg0)
+    np.testing.assert_allclose(g_p, g_x, rtol=1e-3)
