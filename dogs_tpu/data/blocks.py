@@ -65,7 +65,7 @@ def split_compact_grid(
     n = positions_obb.shape[0]
     x = positions_obb[:, 0]
     y = positions_obb[:, 1]
-    pad = 0.1 * max(float(x.ptp()), float(y.ptp()), 1e-6)
+    pad = 0.1 * max(float(np.ptp(x)), float(np.ptp(y)), 1e-6)
     x_lo, x_hi = float(x.min()) - pad, float(x.max()) + pad
     y_lo, y_hi = float(y.min()) - pad, float(y.max()) + pad
 

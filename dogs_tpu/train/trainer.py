@@ -492,7 +492,18 @@ class GaussianSplatTrainer:
         self._maybe_reset_opacity(step)
         return metrics
 
-    def train(self, num_iterations: int | None = None, log_every: int = 100):
+    def train(
+        self,
+        num_iterations: int | None = None,
+        log_every: int = 100,
+        validate_every: int = 0,
+        checkpoint_every: int = 0,
+        checkpoint_manager=None,
+        tensorboard_writer=None,
+    ):
+        """Main loop with the reference cadences: tensorboard every
+        n_tensorboard, validation every n_validation, checkpoints every
+        n_checkpoint (implicit_recon_trainer.py:296-353)."""
         n = num_iterations or self.cfg.max_iterations
         start_step = int(self.state.step)
         t0 = time.time()
@@ -508,7 +519,56 @@ class GaussianSplatTrainer:
                     "step %d loss %.4f psnr %.2f alive %d (%.1f it/s)",
                     step, m["loss"], m["psnr"], int(m["n_alive"]), m["iters_per_sec"],
                 )
+                if tensorboard_writer is not None:
+                    for k, v in m.items():
+                        tensorboard_writer.add_scalar(f"train/{k}", v, step)
+            if validate_every and step % validate_every == 0:
+                val = self.validate()
+                if val:
+                    logger.info("step %d val_psnr %.2f", step, val["val_psnr"])
+                    if tensorboard_writer is not None:
+                        tensorboard_writer.add_scalar("val/psnr", val["val_psnr"], step)
+            if checkpoint_every and checkpoint_manager and step % checkpoint_every == 0:
+                self.save_checkpoint(checkpoint_manager)
         return metrics
+
+    # ---- checkpointing --------------------------------------------------------
+    def save_checkpoint(self, manager) -> str:
+        """Stores the raw TrainState pytree + RNG, mirroring the reference's
+        raw-tensor meta_data checkpoints (gaussian_trainer.py:515-547)."""
+        extra = {
+            "np_rng": self.rng.get_state()[1].tolist(),
+            "spatial_lr_scale": self.spatial_lr_scale,
+        }
+        return manager.save(int(self.state.step), self.state, extra)
+
+    def load_checkpoint(self, manager, path: str | None = None) -> int:
+        """Resume; returns the restored step (gaussian_trainer.py:549-573).
+        Capacities must match — the manager stores padded buffers verbatim."""
+        # Template must match on-disk capacity; probe the stored shape first.
+        probe_path = path or manager.latest_path()
+        if probe_path is None:
+            return 0
+        import numpy as _np
+
+        data = _np.load(probe_path)
+        xyz_key = next(
+            (k for k in data.files if k.endswith("xyz") and "model" in k and "params" in k),
+            None,
+        )
+        cap = data[xyz_key].shape[0] if xyz_key else None
+        if cap is not None and cap != self.state.model.capacity:
+            from dogs_tpu.train.trainer import grow_capacity  # self-module
+
+            if cap > self.state.model.capacity:
+                self.state = grow_capacity(self.state, cap)
+        state, extra = manager.load(self.state, probe_path)
+        if state is not None:
+            self.state = state
+        if "np_rng" in extra:
+            st = self.rng.get_state()
+            self.rng.set_state((st[0], _np.asarray(extra["np_rng"], _np.uint32), 0, 0, 0.0))
+        return int(self.state.step)
 
     # ---- validation -----------------------------------------------------------
     def validate(self) -> dict:

@@ -1,0 +1,86 @@
+"""Block preprocessing CLI — parity with the reference's
+preprocess_large_scale_data.py:13-76.
+
+Loads a COLMAP scene, partitions cameras/points into an OBB-aligned mx x my
+grid (equal camera counts per cell, expanded overlapping boxes), and writes
+each block's manifest to <root>/blocks_{mx}x{my}/block_k/ for the
+block-parallel ADMM trainer.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+from dogs_tpu.data.blocks import block_dir, partition_scene, save_block
+from dogs_tpu.data.dataset import load_scene
+from dogs_tpu.utils.config import config_parser, load_config
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("preprocess")
+
+
+def preprocess_scene(config, scene: str) -> None:
+    root = os.path.join(config.dataset.root_dir, scene)
+    mx = int(config.dataset.get("mx", 2))
+    my = int(config.dataset.get("my", 2))
+    sf = config.dataset.get("bbox_scale_factor", [1.4, 1.4, 1.4])
+    data = load_scene(
+        root,
+        factor=int(config.dataset.get("factor", 1)),
+        val_interval=int(config.dataset.get("val_interval", 8)),
+        model_folder=config.dataset.get("model_folder", "sparse"),
+    )
+    cam_pos = np.stack([c.center for c in data.train_cameras])
+    part = partition_scene(cam_pos, data.points, mx, my, sf[:2])
+
+    # Save per-block manifests + the OBB transform / bbox tables
+    # (load_colmap.py:402-450 side outputs).
+    out_root = os.path.dirname(block_dir(root, mx, my, 0))
+    os.makedirs(out_root, exist_ok=True)
+    np.save(os.path.join(out_root, "world_to_obb_transform.npy"), part.transform)
+    np.savetxt(
+        os.path.join(out_root, "bounding_boxes_origin.txt"),
+        part.bounds.reshape(part.num_blocks, -1),
+    )
+    np.savetxt(
+        os.path.join(out_root, "bounding_boxes.txt"),
+        part.bounds_expanded.reshape(part.num_blocks, -1),
+    )
+
+    for k in range(part.num_blocks):
+        cams = [
+            c for c, lbl in zip(data.train_cameras, part.camera_labels) if lbl == k
+        ]
+        mask = part.point_masks[k]
+        save_block(
+            block_dir(root, mx, my, k),
+            cams,
+            data.points[mask],
+            data.colors[mask],
+            part.bounds[k],
+            part.bounds_expanded[k],
+            part.transform,
+        )
+        logger.info(
+            "block %d: %d cameras, %d points", k, len(cams), int(mask.sum())
+        )
+
+
+def main():
+    args = config_parser().parse_args()
+    config = load_config(args.config, cli_overrides=[o for o in args.opts if "=" in o])
+    scenes = config.dataset.scene
+    if args.scene:
+        scenes = [args.scene]
+    elif isinstance(scenes, str):
+        scenes = [scenes]
+    for scene in scenes:
+        logger.info("=== partitioning %s ===", scene)
+        preprocess_scene(config, scene)
+
+
+if __name__ == "__main__":
+    main()

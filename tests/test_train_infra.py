@@ -1,0 +1,131 @@
+"""Checkpoint round-trip, image reader, blocks partition, metrics, config CLI."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dogs_tpu.data.blocks import partition_scene, save_block, load_block
+from dogs_tpu.data.dataset import CameraRecord
+from dogs_tpu.eval.metrics import color_correct, lpips, psnr
+from dogs_tpu.train.checkpoint import CheckpointManager
+from dogs_tpu.train.trainer import GaussianSplatTrainer, TrainerConfig
+from dogs_tpu.raster.tiled import RasterConfig
+from dogs_tpu.data.synthetic import make_scene
+
+RASTER = RasterConfig(tile_batch=16, chunk=32)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(n_gaussians=48, n_cams=6, width=48, height=48, seed=11,
+                      raster_cfg=RASTER)
+
+
+def make_trainer(scene):
+    cfg = TrainerConfig(
+        max_iterations=50, densify_start_iter=10**9, min_capacity=64,
+        max_sh_degree=2, sh_increase_interval=1,
+    )
+    return GaussianSplatTrainer(
+        cameras=scene.cameras[:5], images=scene.images[:5],
+        points=scene.points, colors=scene.colors,
+        cfg=cfg, raster_cfg=RASTER,
+        val_cameras=scene.cameras[5:], val_images=scene.images[5:],
+    )
+
+
+def test_checkpoint_roundtrip_resume(scene, tmp_path):
+    trainer = make_trainer(scene)
+    trainer.train(num_iterations=10, log_every=0)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    trainer.save_checkpoint(mgr)
+    psnr_before = trainer.validate()["val_psnr"]
+
+    trainer2 = make_trainer(scene)
+    step = trainer2.load_checkpoint(mgr)
+    assert step == 10
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state.model.params.xyz),
+        np.asarray(trainer.state.model.params.xyz),
+    )
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state.opt.mu.xyz), np.asarray(trainer.state.opt.mu.xyz)
+    )
+    assert abs(trainer2.validate()["val_psnr"] - psnr_before) < 1e-4
+    # Training continues from the restored state.
+    trainer2.train(num_iterations=5, log_every=0)
+    assert int(trainer2.state.step) == 15
+
+
+def test_checkpoint_retention(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    tree = {"a": jnp.arange(4.0)}
+    for step in [1, 2, 3, 4]:
+        mgr.save(step, tree)
+    files = [f for f in os.listdir(tmp_path) if f.startswith("model_")]
+    assert len(files) == 2
+    assert "model_000004.npz" in files
+
+
+def test_image_reader(tmp_path):
+    import imageio.v2 as imageio
+
+    from dogs_tpu.data.reader import ImageReader
+
+    paths = []
+    for i in range(6):
+        p = str(tmp_path / f"im_{i}.png")
+        imageio.imwrite(p, np.full((8, 8, 3), i * 30, np.uint8))
+        paths.append(p)
+    reader = ImageReader(paths, num_threads=3)
+    for i in [3, 0, 5, 1, 2, 4]:
+        img = reader.get_image(i)
+        np.testing.assert_allclose(img, i * 30 / 255.0, atol=1e-3)
+    reader.safe_exit()
+
+
+def test_partition_and_block_io(tmp_path):
+    rng = np.random.RandomState(0)
+    cam_pos = rng.rand(40, 3) * np.array([10, 4, 1])
+    points = rng.rand(500, 3) * np.array([10, 4, 1])
+    part = partition_scene(cam_pos, points, mx=2, my=2)
+    assert part.num_blocks == 4
+    # Equal-count split: each block gets ~10 cameras.
+    counts = np.bincount(part.camera_labels, minlength=4)
+    assert counts.min() >= 8 and counts.max() <= 12
+    # Expanded boxes overlap: points total exceeds the cloud size.
+    total = sum(int(m.sum()) for m in part.point_masks)
+    assert total >= 500
+
+    cams = [
+        CameraRecord(np.eye(3), np.zeros(3), 100, 100, 32, 32, 64, 64, f"img{i}", i)
+        for i in range(3)
+    ]
+    save_block(str(tmp_path / "b0"), cams, points[:50], np.ones((50, 3)) * 0.5,
+               part.bounds[0], part.bounds_expanded[0], part.transform)
+    blk = load_block(str(tmp_path / "b0"))
+    assert len(blk["cameras"]) == 3
+    assert blk["points"].shape == (50, 3)
+    np.testing.assert_allclose(blk["transform"], part.transform)
+
+
+def test_color_correct_fixes_affine_shift():
+    rng = np.random.RandomState(1)
+    ref = rng.rand(32, 32, 3).astype(np.float32) * 0.8 + 0.1
+    warped = np.clip(ref * 0.7 + 0.1 + 0.05 * ref**2, 0, 1)
+    fixed = np.asarray(color_correct(jnp.asarray(warped), jnp.asarray(ref)))
+    assert np.abs(fixed - ref).mean() < np.abs(warped - ref).mean() * 0.2
+
+
+def test_psnr_lpips_sanity():
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.rand(64, 64, 3).astype(np.float32))
+    assert float(psnr(a, a)) > 60
+    v_same, _ = lpips(a, a)
+    b = jnp.asarray(rng.rand(64, 64, 3).astype(np.float32))
+    v_diff, _ = lpips(a, b)
+    assert float(v_same) < 1e-6
+    assert float(v_diff) > float(v_same)

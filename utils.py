@@ -1,0 +1,169 @@
+"""Trainer factory — parity with the reference's root utils.py:8-23.
+
+`create_trainer(config)` keys on `neural_field_type`: "gs" builds the
+single-device GaussianSplatTrainer (block-local training uses the same class
+per shard); "scaffold_gs" builds the Scaffold-GS trainer.
+Returns (trainer, checkpoint_manager, tensorboard_writer).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _build_dataset(config):
+    """SceneData for real scenes or a synthetic teacher-splat scene."""
+    from dogs_tpu.data.dataset import load_image, load_scene
+
+    name = config.dataset.get("name", "synthetic")
+    if name == "synthetic":
+        from dogs_tpu.data.synthetic import make_scene
+
+        scene = make_scene(
+            n_gaussians=int(config.dataset.get("n_gaussians", 96)),
+            n_cams=int(config.dataset.get("n_cams", 12)),
+            width=int(config.dataset.get("width", 96)),
+            height=int(config.dataset.get("height", 80)),
+            seed=int(config.get("seed", 42)),
+        )
+        n_val = max(len(scene.cameras) // int(config.dataset.get("val_interval", 8)), 1)
+        return dict(
+            train_cameras=[c for c in scene.cameras[n_val:]],
+            train_images=scene.images[n_val:],
+            val_cameras=scene.cameras[:n_val],
+            val_images=scene.images[:n_val],
+            points=scene.points,
+            colors=scene.colors,
+        )
+
+    root = os.path.join(config.dataset.root_dir, str(config.dataset.scene))
+    data = load_scene(
+        root,
+        factor=int(config.dataset.get("factor", 1)),
+        val_interval=int(config.dataset.get("val_interval", 8)),
+        model_folder=config.dataset.get("model_folder", "sparse"),
+        normalize=bool(config.dataset.get("scale", True)),
+    )
+    train_cams = [r.to_camera() for r in data.train_cameras]
+    val_cams = [r.to_camera() for r in data.val_cameras]
+    train_imgs = [load_image(r.image_path) for r in data.train_cameras]
+    val_imgs = [load_image(r.image_path) for r in data.val_cameras]
+    return dict(
+        train_cameras=train_cams,
+        train_images=train_imgs,
+        val_cameras=val_cams,
+        val_images=val_imgs,
+        points=data.points,
+        colors=data.colors,
+    )
+
+
+def _trainer_config(config):
+    from dogs_tpu.train.trainer import TrainerConfig
+
+    lr = config.optimizer.lr
+    geo = config.geometry
+    return TrainerConfig(
+        max_iterations=int(config.trainer.max_iterations),
+        lambda_dssim=float(config.loss.get("lambda_dssim", 0.2)),
+        lambda_scale=float(config.loss.get("lambda_scale", 0.01)),
+        position_lr_init=float(lr.get("position_init", 1.6e-4)),
+        position_lr_final=float(lr.get("position_final", 1.6e-6)),
+        position_lr_delay_mult=float(lr.get("position_delay_mult", 0.01)),
+        position_lr_max_steps=int(
+            lr.get("position_max_iterations", config.trainer.max_iterations)
+        ),
+        feature_lr=float(lr.get("feature", 2.5e-3)),
+        opacity_lr=float(lr.get("opacity", 0.025)),
+        scaling_lr=float(lr.get("scaling", 5e-3)),
+        quaternion_lr=float(lr.get("quaternion", 1e-3)),
+        exposure_lr_init=float(lr.get("exposure_lr_init", 0.01)),
+        exposure_lr_final=float(lr.get("exposure_lr_final", 0.001)),
+        exposure_lr_delay_steps=int(lr.get("exposure_lr_delay_steps", 0)),
+        exposure_lr_delay_mult=float(lr.get("exposure_lr_delay_mult", 0.0)),
+        percent_dense=float(geo.get("percent_dense", 0.01)),
+        densify_start_iter=int(geo.get("densify_start_iter", 500)),
+        densify_end_iter=int(geo.get("densify_end_iter", 15000)),
+        densification_interval=int(geo.get("densification_interval", 100)),
+        opacity_reset_interval=int(geo.get("opacity_reset_interval", 3000)),
+        densify_grad_threshold=float(geo.get("densify_grad_threshold", 2e-4)),
+        coarse_to_fine=bool(geo.get("coarse-to-fine", False)),
+        max_sh_degree=int(config.texture.get("max_sh_degree", 3)),
+        use_trained_exposure=bool(
+            config.appearance.get("use_trained_exposure", False)
+        ),
+        white_background=bool(config.dataset.get("apply_mask", False)),
+        spatial_lr_scale=float(geo.get("spatial_lr_scale", -1.0)),
+    )
+
+
+def _raster_config(config):
+    import jax
+
+    from dogs_tpu.raster.tiled import RasterConfig
+
+    pipe = config.get("pipeline", {})
+    return RasterConfig(
+        antialiasing=bool(config.texture.get("anti_aliasing", False)),
+        depth_threshold=float(config.geometry.get("depth_threshold", 0.0)),
+        max_tiles_per_gaussian=int(pipe.get("max_tiles_per_gaussian", 16)),
+        bin_capacity=pipe.get("bin_capacity", None),
+        use_pallas=bool(
+            pipe.get("use_pallas", jax.default_backend() == "tpu")
+        ),
+    )
+
+
+def create_trainer(config):
+    """Factory keyed on neural_field_type (reference utils.py:16-21)."""
+    field_type = config.get("neural_field_type", "gs")
+    data = _build_dataset(config)
+
+    out_root = os.path.join(config.get("root_dir", "out"), config.get("expname", "exp"))
+    os.makedirs(out_root, exist_ok=True)
+    from dogs_tpu.train.checkpoint import CheckpointManager
+
+    ckpt_manager = CheckpointManager(
+        os.path.join(out_root, "model"),
+        max_to_keep=int(config.trainer.get("max_to_keep", 3)),
+    )
+    writer = None
+    if bool(config.trainer.get("enable_tensorboard", False)):
+        try:
+            from tensorboardX import SummaryWriter
+
+            writer = SummaryWriter(os.path.join(out_root, "logs"))
+        except Exception:  # pragma: no cover - optional dependency
+            writer = None
+
+    if field_type == "scaffold_gs":
+        from dogs_tpu.fields.scaffold import ScaffoldGSTrainer
+
+        trainer = ScaffoldGSTrainer(
+            cameras=data["train_cameras"],
+            images=data["train_images"],
+            points=data["points"],
+            colors=data["colors"],
+            cfg=_trainer_config(config),
+            raster_cfg=_raster_config(config),
+            val_cameras=data["val_cameras"],
+            val_images=data["val_images"],
+            seed=int(config.get("seed", 42)),
+        )
+    else:
+        from dogs_tpu.train.trainer import GaussianSplatTrainer
+
+        trainer = GaussianSplatTrainer(
+            cameras=data["train_cameras"],
+            images=data["train_images"],
+            points=data["points"],
+            colors=data["colors"],
+            cfg=_trainer_config(config),
+            raster_cfg=_raster_config(config),
+            val_cameras=data["val_cameras"],
+            val_images=data["val_images"],
+            seed=int(config.get("seed", 42)),
+        )
+    return trainer, ckpt_manager, writer
