@@ -513,9 +513,16 @@ def render_tiled(
     active_sh_degree: int = 3,
     scale_modifier: float = 1.0,
     means2d_offset: jnp.ndarray | None = None,
+    invd_offset: jnp.ndarray | None = None,
 ) -> RenderOutput:
     """Full tiled render: the production replacement for
-    conerf/render/gaussian_render.py:18-158 `render()`."""
+    conerf/render/gaussian_render.py:18-158 `render()`.
+
+    invd_offset: optional (C,) zeros; the gradient of sum(invdepth) w.r.t.
+    it equals each Gaussian's total blend weight over all pixels — the
+    importance signal of the old count_render
+    (old_diff_gaussian_rasterization f_count mode) without a second kernel.
+    """
     h, w = camera.height, camera.width
     ts = cfg.tile_size
     n_tiles_y = -(-h // ts)
@@ -546,6 +553,8 @@ def render_tiled(
     opacity = jnp.where(visible, proj.opacity, 0.0)
     dsafe = jnp.where(visible, proj.depth, 1.0)
     invd = jnp.where(visible, 1.0 / dsafe, 0.0)
+    if invd_offset is not None:
+        invd = invd + invd_offset
 
     # Entry matrix in N-space, then ONE gather into sorted order. The VJP of
     # this gather (scatter-add K -> N) is XLA autodiff's job.

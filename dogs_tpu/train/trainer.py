@@ -83,11 +83,19 @@ class TrainerConfig:
     min_opacity: float = 0.005
     size_threshold: float = 20.0
     coarse_to_fine: bool = False
+    # prune block (LightGaussian, config prune.*)
+    prune_iterations: tuple = ()
+    prune_v_pow: float = 0.1
+    prune_decay: float = 0.6
+    prune_percent: float = 0.5
     # texture block
     max_sh_degree: int = 3
     sh_increase_interval: int = 1000
     # appearance
     use_trained_exposure: bool = False
+    use_appearance_mask: bool = False  # VastGaussian decoupled appearance
+    lambda_mask: float = 0.0
+    mask_lr: float = 1e-3
     # misc
     white_background: bool = False
     spatial_lr_scale: float = -1.0  # <0: compute nerf++ norm from cameras
@@ -102,6 +110,10 @@ class TrainState:
     exposure_mu: jnp.ndarray
     exposure_nu: jnp.ndarray
     step: jnp.ndarray  # () int32
+    # VastGaussian appearance mask CNN (empty dicts when disabled).
+    mask_params: dict = flax.struct.field(default_factory=dict)
+    mask_mu: dict = flax.struct.field(default_factory=dict)
+    mask_nu: dict = flax.struct.field(default_factory=dict)
 
 
 def compute_nerf_plus_plus_norm(cameras: Sequence[Camera]) -> float:
@@ -124,6 +136,12 @@ def init_train_state(
         jnp.asarray(points), jnp.asarray(colors), capacity, cfg.max_sh_degree
     )
     exposure = jnp.tile(jnp.eye(3, 4, dtype=jnp.float32)[None], (max(n_images, 1), 1, 1))
+    mask_params = {}
+    if cfg.use_appearance_mask:
+        from dogs_tpu.fields.appearance import init_appearance_params
+
+        mask_params = init_appearance_params(max(n_images, 1))
+    zeros_like_tree = lambda t: jax.tree.map(jnp.zeros_like, t)
     return TrainState(
         model=model,
         opt=init_sparse_adam(model.params),
@@ -131,6 +149,9 @@ def init_train_state(
         exposure_mu=jnp.zeros_like(exposure),
         exposure_nu=jnp.zeros_like(exposure),
         step=jnp.zeros((), jnp.int32),
+        mask_params=mask_params,
+        mask_mu=zeros_like_tree(mask_params),
+        mask_nu=zeros_like_tree(mask_params),
     )
 
 
@@ -194,7 +215,7 @@ def make_train_step(
     lrs_fn, exposure_lr_fn = make_lr_schedules(cfg, spatial_lr_scale)
     bg = jnp.asarray(background, jnp.float32)
 
-    def loss_fn(params, offset, exposure_row, camera, gt, alive, admm_args):
+    def loss_fn(params, offset, exposure_row, mask_params, camera, gt, alive, admm_args):
         out = render_tiled(
             params,
             camera,
@@ -208,9 +229,23 @@ def make_train_step(
         if cfg.use_trained_exposure:
             img = apply_exposure(img, exposure_row)
         img = jnp.clip(img, 0.0, 1.0)
-        l1 = jnp.mean(jnp.abs(img - gt))
+        mask_reg = jnp.float32(0.0)
+        if cfg.use_appearance_mask:
+            # VastGaussian: L1 on masked render, SSIM on the raw render
+            # (gaussian_trainer.py:392-401).
+            from dogs_tpu.fields.appearance import apply_appearance
+
+            mask = apply_appearance(mask_params, img, camera.image_index)
+            l1 = jnp.mean(jnp.abs(img * mask - gt))
+            mask_reg = cfg.lambda_mask * jnp.mean((mask - 1.0) ** 2)
+        else:
+            l1 = jnp.mean(jnp.abs(img - gt))
         loss_ssim = ssim(img, gt)
-        loss = (1.0 - cfg.lambda_dssim) * l1 + cfg.lambda_dssim * (1.0 - loss_ssim)
+        loss = (
+            (1.0 - cfg.lambda_dssim) * l1
+            + cfg.lambda_dssim * (1.0 - loss_ssim)
+            + mask_reg
+        )
         # Scale regularizer: mean over alive of prod(scale)
         # (gaussian_trainer.py:405-407).
         n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
@@ -248,10 +283,13 @@ def make_train_step(
         params = ts.model.params
         offset = jnp.zeros((params.capacity, 2), jnp.float32)
         exposure_row = ts.exposure[camera.image_index]
-        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
-            params, offset, exposure_row, camera, gt, ts.model.alive, admm_args
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+        )(
+            params, offset, exposure_row, ts.mask_params, camera, gt,
+            ts.model.alive, admm_args,
         )
-        g_params, g_offset, g_exposure = grads
+        g_params, g_offset, g_exposure, g_mask = grads
         radii = aux["radii"]
         visible = (radii > 0.0) & ts.model.alive
 
@@ -269,6 +307,24 @@ def make_train_step(
         model = jax.tree.map(
             lambda a, b: jnp.where(in_densify, a, b), stats_model, model
         )
+
+        mask_params, mask_mu, mask_nu = ts.mask_params, ts.mask_mu, ts.mask_nu
+        if cfg.use_appearance_mask:
+            upd = jax.tree.map(
+                lambda p_, g_, m_, v_: adam_step(
+                    p_, g_, m_, v_, cfg.mask_lr, ts.step
+                ),
+                mask_params, g_mask, mask_mu, mask_nu,
+            )
+            mask_params = jax.tree.map(
+                lambda t: t[0], upd, is_leaf=lambda x: isinstance(x, tuple)
+            )
+            mask_mu = jax.tree.map(
+                lambda t: t[1], upd, is_leaf=lambda x: isinstance(x, tuple)
+            )
+            mask_nu = jax.tree.map(
+                lambda t: t[2], upd, is_leaf=lambda x: isinstance(x, tuple)
+            )
 
         exposure = ts.exposure
         exp_mu, exp_nu = ts.exposure_mu, ts.exposure_nu
@@ -292,6 +348,9 @@ def make_train_step(
             exposure_mu=exp_mu,
             exposure_nu=exp_nu,
             step=ts.step + 1,
+            mask_params=mask_params,
+            mask_mu=mask_mu,
+            mask_nu=mask_nu,
         )
         metrics = dict(
             loss=loss,
@@ -490,7 +549,35 @@ class GaussianSplatTrainer:
         self.state, metrics = step_fn(self.state, camera, jnp.asarray(gt))
         self._maybe_densify(step)
         self._maybe_reset_opacity(step)
+        self._maybe_lightgaussian_prune(step)
         return metrics
+
+    def _maybe_lightgaussian_prune(self, step: int):
+        """LightGaussian importance prune at prune.iterations
+        (gaussian_trainer.py:457-469)."""
+        if step not in self.cfg.prune_iterations:
+            return
+        from dogs_tpu.fields.lightgaussian import (
+            calculate_v_imp_score,
+            prune_gaussians,
+            prune_list,
+        )
+
+        imp = prune_list(
+            self.state.model, self.cameras, self.raster_cfg,
+            self.active_sh_degree(step),
+        )
+        scores = calculate_v_imp_score(self.state.model, imp, self.cfg.prune_v_pow)
+        i = list(self.cfg.prune_iterations).index(step)
+        percent = (self.cfg.prune_decay**i) * self.cfg.prune_percent
+        before = int(self.state.model.num_alive)
+        self.state = self.state.replace(
+            model=prune_gaussians(self.state.model, percent, scores)
+        )
+        logger.info(
+            "lightgaussian prune @%d: %d -> %d gaussians",
+            step, before, int(self.state.model.num_alive),
+        )
 
     def train(
         self,

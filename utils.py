@@ -90,10 +90,19 @@ def _trainer_config(config):
         opacity_reset_interval=int(geo.get("opacity_reset_interval", 3000)),
         densify_grad_threshold=float(geo.get("densify_grad_threshold", 2e-4)),
         coarse_to_fine=bool(geo.get("coarse-to-fine", False)),
+        prune_iterations=tuple(config.get("prune", {}).get("iterations", []) or []),
+        prune_v_pow=float(config.get("prune", {}).get("v_pow", 0.1)),
+        prune_decay=float(config.get("prune", {}).get("prune_decay", 0.6)),
+        prune_percent=float(config.get("prune", {}).get("prune_percent", 0.5)),
         max_sh_degree=int(config.texture.get("max_sh_degree", 3)),
         use_trained_exposure=bool(
             config.appearance.get("use_trained_exposure", False)
         ),
+        use_appearance_mask=bool(
+            config.appearance.get("use_appearance_mask", False)
+        ),
+        lambda_mask=float(config.loss.get("lambda_mask", 0.0)),
+        mask_lr=float(lr.get("mask", 1e-3)),
         white_background=bool(config.dataset.get("apply_mask", False)),
         spatial_lr_scale=float(geo.get("spatial_lr_scale", -1.0)),
     )
