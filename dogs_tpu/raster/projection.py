@@ -109,6 +109,7 @@ def project_gaussians(
     antialiasing: bool = False,
     scale_modifier: float = 1.0,
     means2d_offset: jnp.ndarray | None = None,
+    color_override: jnp.ndarray | None = None,
 ) -> ProjectedGaussians:
     """Vectorized preprocess over all (padded) Gaussians.
 
@@ -175,12 +176,19 @@ def project_gaussians(
         visible = visible & alive
     radius = jnp.where(visible, radius, 0.0)
 
-    # View-dependent color (forward.cu:157-230 computeColorFromSH): SH along
-    # the normalized direction, shifted +0.5 and clamped at 0.
-    dirs = xyz - camera.camera_center
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
-    color = eval_sh(active_sh_degree, params.features, dirs) + 0.5
-    color = jnp.maximum(color, 0.0)
+    if color_override is not None:
+        # Precomputed per-view colors (the Scaffold-GS neural-gaussian path,
+        # conerf/render/scaffold_gs_render.py:17-105 passes colors_precomp).
+        color = jnp.maximum(color_override, 0.0)
+    else:
+        # View-dependent color (forward.cu:157-230 computeColorFromSH): SH
+        # along the normalized direction, shifted +0.5 and clamped at 0.
+        dirs = xyz - camera.camera_center
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+        )
+        color = eval_sh(active_sh_degree, params.features, dirs) + 0.5
+        color = jnp.maximum(color, 0.0)
 
     return ProjectedGaussians(
         means2d=means2d,

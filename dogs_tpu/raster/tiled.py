@@ -514,6 +514,7 @@ def render_tiled(
     scale_modifier: float = 1.0,
     means2d_offset: jnp.ndarray | None = None,
     invd_offset: jnp.ndarray | None = None,
+    color_override: jnp.ndarray | None = None,
 ) -> RenderOutput:
     """Full tiled render: the production replacement for
     conerf/render/gaussian_render.py:18-158 `render()`.
@@ -539,6 +540,7 @@ def render_tiled(
         antialiasing=cfg.antialiasing,
         scale_modifier=scale_modifier,
         means2d_offset=means2d_offset,
+        color_override=color_override,
     )
     bins = build_tile_bins(
         proj,

@@ -148,18 +148,27 @@ def create_trainer(config):
             writer = None
 
     if field_type == "scaffold_gs":
-        from dogs_tpu.fields.scaffold import ScaffoldGSTrainer
+        from dogs_tpu.fields.scaffold import ScaffoldConfig, ScaffoldGSTrainer
 
+        anchor = config.get("anchor", {})
+        scfg = ScaffoldConfig(
+            max_iterations=int(config.trainer.max_iterations),
+            voxel_size=float(anchor.get("voxel_size", 0.05)),
+            k_offsets=int(anchor.get("n_offsets", 10)),
+            lambda_dssim=float(config.loss.get("lambda_dssim", 0.2)),
+            anchor_lr_init=float(config.optimizer.lr.get("position_init", 1.6e-4)),
+            anchor_lr_final=float(config.optimizer.lr.get("position_final", 1.6e-6)),
+            feat_lr=float(config.optimizer.lr.get("feature", 4e-3)),
+        )
         trainer = ScaffoldGSTrainer(
             cameras=data["train_cameras"],
             images=data["train_images"],
             points=data["points"],
-            colors=data["colors"],
-            cfg=_trainer_config(config),
             raster_cfg=_raster_config(config),
             val_cameras=data["val_cameras"],
             val_images=data["val_images"],
             seed=int(config.get("seed", 42)),
+            scaffold_cfg=scfg,
         )
     else:
         from dogs_tpu.train.trainer import GaussianSplatTrainer
