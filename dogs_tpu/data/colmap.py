@@ -139,6 +139,14 @@ def read_cameras_bin(path: str) -> dict[int, ColmapCamera]:
 
 
 def read_images_bin(path: str) -> dict[int, ColmapImage]:
+    from dogs_tpu.data.native import read_images_bin_fast
+
+    fast = read_images_bin_fast(path)
+    if fast is not None:
+        return {
+            iid: ColmapImage(iid, q, t, cid, name)
+            for iid, (q, t, cid, name) in fast.items()
+        }
     with open(path, "rb") as f:
         r = _Reader(f.read())
     (n,) = r.read("Q")
@@ -156,6 +164,11 @@ def read_images_bin(path: str) -> dict[int, ColmapImage]:
 
 
 def read_points3d_bin(path: str):
+    from dogs_tpu.data.native import read_points3d_bin_fast
+
+    fast = read_points3d_bin_fast(path)
+    if fast is not None:
+        return fast
     with open(path, "rb") as f:
         r = _Reader(f.read())
     (n,) = r.read("Q")
