@@ -76,3 +76,93 @@ class ImageReader:
         for t in self._threads:
             t.join(timeout=2.0)
         self._results.clear()
+
+
+class LazyImageList:
+    """Sequence of lazily-decoded images with lookahead prefetch.
+
+    Drop-in for the trainer's `images` list on real datasets: the reference
+    keeps images on the host and streams them through its thread pool
+    (gaussian_trainer.py:338-353); loading a rubble-scale scene eagerly
+    (1500+ images) would need tens of GB. `hint(order)` starts decoding the
+    next epoch's images ahead of the training loop.
+    """
+
+    def __init__(
+        self,
+        paths: list[str],
+        num_channels: int = 3,
+        num_threads: int = 8,
+        lookahead: int = 16,
+    ):
+        self.paths = list(paths)
+        self.num_channels = num_channels
+        self.lookahead = lookahead
+        self._cache: dict[int, np.ndarray] = {}
+        self._pending: set[int] = set()
+        self._cv = threading.Condition()
+        self._queue: list[int] = []
+        self._stop = False
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(num_threads)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _worker(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._stop:
+                    self._cv.wait(timeout=0.5)
+                if self._stop:
+                    return
+                idx = self._queue.pop(0)
+                if idx in self._cache or idx in self._pending:
+                    continue
+                self._pending.add(idx)
+            img = load_image(self.paths[idx], self.num_channels)
+            with self._cv:
+                self._pending.discard(idx)
+                self._cache[idx] = img
+                self._cv.notify_all()
+
+    def hint(self, order: list[int]) -> None:
+        """Schedule the upcoming access order for prefetch."""
+        with self._cv:
+            self._upcoming = list(order)
+            self._queue = [i for i in order[: self.lookahead] if i not in self._cache]
+            self._cv.notify_all()
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        with self._cv:
+            if idx not in self._cache and idx not in self._pending:
+                self._queue.insert(0, idx)
+                self._cv.notify_all()
+            while idx not in self._cache:
+                self._cv.wait(timeout=5.0)
+            img = self._cache.pop(idx)
+            # Slide the prefetch window along the hinted epoch order.
+            up = getattr(self, "_upcoming", [])
+            if up and up[0] == idx:
+                up.pop(0)
+                if len(up) >= self.lookahead:
+                    nxt = up[self.lookahead - 1]
+                    if nxt not in self._cache and nxt not in self._pending:
+                        self._queue.append(nxt)
+                        self._cv.notify_all()
+            # Bound memory: drop anything far beyond the lookahead window.
+            if len(self._cache) > 2 * self.lookahead:
+                for k in list(self._cache)[: len(self._cache) - self.lookahead]:
+                    self._cache.pop(k, None)
+        return img
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        for t in self._threads:
+            t.join(timeout=2.0)

@@ -438,7 +438,11 @@ class GaussianSplatTrainer:
     ):
         assert len(cameras) == len(images)
         self.cameras = list(cameras)
-        self.images = [np.asarray(im, np.float32) for im in images]
+        # `images` may be a LazyImageList (real datasets) or in-memory arrays.
+        if hasattr(images, "hint"):
+            self.images = images
+        else:
+            self.images = [np.asarray(im, np.float32) for im in images]
         self.val_cameras = list(val_cameras)
         self.val_images = [np.asarray(im, np.float32) for im in val_images]
         self.cfg = cfg
@@ -485,6 +489,8 @@ class GaussianSplatTrainer:
     def _next_camera(self) -> int:
         if not self._order:
             self._order = list(self.rng.permutation(len(self.cameras)))
+            if hasattr(self.images, "hint"):
+                self.images.hint(list(reversed(self._order)))
         return int(self._order.pop())
 
     # ---- densification host logic ------------------------------------------

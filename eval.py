@@ -20,6 +20,8 @@ logger = logging.getLogger("eval")
 
 def create_evaluator(config, trainer):
     """Evaluator factory keyed on neural_field_type (eval.py:18-41)."""
+    import numpy as np
+
     from dogs_tpu.eval.evaluator import EvalConfig, GaussianSplatEvaluator
 
     out_root = os.path.join(config.get("root_dir", "out"), config.get("expname", "exp"))
@@ -28,6 +30,50 @@ def create_evaluator(config, trainer):
         apply_color_correction=bool(config.get("eval", {}).get("color_correct", False)),
         active_sh_degree=int(config.texture.get("max_sh_degree", 3)),
     )
+    if config.get("neural_field_type", "gs") == "scaffold_gs":
+
+        class ScaffoldEvaluator(GaussianSplatEvaluator):
+            """Scaffold renders are view-dependent (MLP-decoded); rendering
+            overrides the splat path, exports snapshot a canonical view's
+            neural gaussians."""
+
+            def __init__(self, sp, raster_cfg, cfg, cameras):
+                self.sp = sp
+                self.raster_cfg = raster_cfg
+                self.cfg = cfg
+                self._export_camera = cameras[0] if cameras else None
+
+            def render(self, camera):
+                from dogs_tpu.fields.scaffold import render_scaffold
+                import jax.numpy as jnp
+
+                out = render_scaffold(
+                    self.sp, camera, self.raster_cfg,
+                    background=jnp.asarray(self.cfg.background, jnp.float32),
+                )
+                return np.clip(np.asarray(out.image), 0.0, 1.0)
+
+            @property
+            def model(self):
+                from dogs_tpu.fields.model import GaussianModelState, fresh_stats
+                from dogs_tpu.fields.scaffold import generate_neural_gaussians
+                import jax.numpy as jnp
+
+                g, colors, alive = generate_neural_gaussians(
+                    self.sp, self._export_camera
+                )
+                from dogs_tpu.core.sh import rgb_to_sh
+
+                params = g.replace(feat_dc=rgb_to_sh(colors)[:, None, :])
+                ga, de, mr = fresh_stats(params.capacity)
+                return GaussianModelState(
+                    params=params, alive=alive, grad_accum=ga, denom=de,
+                    max_radii2d=mr,
+                )
+
+        return ScaffoldEvaluator(
+            trainer.state.params, trainer.raster_cfg, cfg, trainer.val_cameras
+        )
     return GaussianSplatEvaluator(trainer.state.model, trainer.raster_cfg, cfg)
 
 

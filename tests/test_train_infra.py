@@ -129,3 +129,27 @@ def test_psnr_lpips_sanity():
     v_diff, _ = lpips(a, b)
     assert float(v_same) < 1e-6
     assert float(v_diff) > float(v_same)
+
+
+def test_lazy_image_list_streams_epoch(tmp_path):
+    import imageio.v2 as imageio
+
+    from dogs_tpu.data.reader import LazyImageList
+
+    paths = []
+    for i in range(20):
+        p = str(tmp_path / f"lz_{i}.png")
+        imageio.imwrite(p, np.full((8, 8, 3), i * 10, np.uint8))
+        paths.append(p)
+    imgs = LazyImageList(paths, num_threads=4, lookahead=4)
+    order = list(np.random.RandomState(0).permutation(20))
+    imgs.hint(order)
+    for idx in order:
+        im = imgs[idx]
+        np.testing.assert_allclose(im, idx * 10 / 255.0, atol=1e-3)
+    # Second epoch with a different order also streams.
+    order2 = list(np.random.RandomState(1).permutation(20))
+    imgs.hint(order2)
+    for idx in order2[:10]:
+        np.testing.assert_allclose(imgs[idx], idx * 10 / 255.0, atol=1e-3)
+    imgs.close()

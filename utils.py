@@ -46,9 +46,13 @@ def _build_dataset(config):
         model_folder=config.dataset.get("model_folder", "sparse"),
         normalize=bool(config.dataset.get("scale", True)),
     )
+    from dogs_tpu.data.reader import LazyImageList
+
     train_cams = [r.to_camera() for r in data.train_cameras]
     val_cams = [r.to_camera() for r in data.val_cameras]
-    train_imgs = [load_image(r.image_path) for r in data.train_cameras]
+    # Train images stream lazily with lookahead decode (rubble-scale scenes
+    # don't fit in host RAM eagerly); the small val split loads up front.
+    train_imgs = LazyImageList([r.image_path for r in data.train_cameras])
     val_imgs = [load_image(r.image_path) for r in data.val_cameras]
     return dict(
         train_cameras=train_cams,
