@@ -101,7 +101,7 @@ def main():
 
     cfg = TrainerConfig(max_iterations=30000)
     raster_cfg = RasterConfig(
-        max_tiles_per_gaussian=16, bin_capacity=2_000_000, use_pallas=True
+        max_tiles_per_gaussian=16, bin_capacity=1_600_000, use_pallas=True
     )
     step = make_train_step(
         cfg, raster_cfg, spatial_lr_scale=5.0, active_sh_degree=3,

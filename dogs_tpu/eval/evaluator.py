@@ -112,6 +112,48 @@ class GaussianSplatEvaluator:
         logger.info("[%s] %s", split, means)
         return result
 
+    def eval_test_trajectory(
+        self,
+        reference_camera: Camera,
+        n_poses: int = 60,
+        radius: float = 3.0,
+        split: str = "test",
+        fps: int = 15,
+    ) -> str:
+        """Render the spheric test trajectory and write frames + a GIF.
+
+        The reference renders its spheric test split to an ffmpeg mp4
+        (gaussian_splatting_evaluator.py:239-244, poses from
+        load_colmap.py:677-699); this environment has no ffmpeg, so the
+        trajectory exports as a PNG sequence plus an animated GIF.
+        """
+        import imageio.v2 as imageio
+
+        from dogs_tpu.core.camera import make_camera
+        from dogs_tpu.data.dataset import spheric_test_poses
+
+        out_dir = os.path.join(self.cfg.output_dir, split)
+        os.makedirs(out_dir, exist_ok=True)
+        c2ws = spheric_test_poses(n_poses, radius)
+        frames = []
+        for i, c2w in enumerate(c2ws):
+            R = c2w[:3, :3].T
+            t = -R @ c2w[:3, 3]
+            cam = make_camera(
+                R, t,
+                float(reference_camera.fx), float(reference_camera.fy),
+                float(reference_camera.cx), float(reference_camera.cy),
+                reference_camera.width, reference_camera.height,
+            )
+            img = (self.render(cam) * 255).astype(np.uint8)
+            frames.append(img)
+            if self.cfg.save_images:
+                imageio.imwrite(os.path.join(out_dir, f"{i:05d}.png"), img)
+        gif = os.path.join(out_dir, "trajectory.gif")
+        imageio.mimwrite(gif, frames, duration=1000.0 / fps, loop=0)
+        logger.info("[%s] wrote %d frames + %s", split, len(frames), gif)
+        return gif
+
     def export(self, out_dir: str, name: str = "model") -> None:
         """.splat + 3DGS .ply + COLMAP-style point cloud
         (gaussian_splatting_evaluator.py:182-194)."""

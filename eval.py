@@ -88,6 +88,12 @@ def evaluate(config) -> None:
     )
     out_root = os.path.join(config.get("root_dir", "out"), config.get("expname", "exp"))
     evaluator.export(os.path.join(out_root, "export"))
+    if trainer.val_cameras and bool(config.get("eval", {}).get("test_trajectory", True)):
+        evaluator.eval_test_trajectory(
+            trainer.val_cameras[0],
+            n_poses=int(config.get("eval", {}).get("n_test_poses", 30)),
+            radius=float(config.get("eval", {}).get("test_radius", 3.0)),
+        )
     logger.info("val mean: %s", result["mean"])
 
 
