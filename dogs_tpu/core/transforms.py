@@ -113,6 +113,52 @@ def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...ij,...j->...i", R, v, precision=HIGHEST)
 
 
+def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation.
+
+    Pose-optimization building block (the reference's se3 utilities,
+    conerf/geometry/pose_util.py / pytorch3d.se3 usage in camera.py:188-206).
+    Written in the sinc form R = I + a[w]x + b[w]x^2 with series fallbacks so
+    gradients stay finite at w = 0 (pose deltas START at zero — the naive
+    normalize-then-rotate form produces NaN grads exactly there).
+    """
+    theta_sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    small = theta_sq < 1e-8
+    # Both where-branches must be finite AND have finite grads at w=0, so
+    # every division uses the safe (branch-switched) denominator.
+    theta_sq_safe = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(theta_sq_safe)
+    a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(
+        small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / theta_sq_safe
+    )
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zero = jnp.zeros_like(wx)
+    K = jnp.stack(
+        [
+            jnp.stack([zero, -wz, wy], -1),
+            jnp.stack([wz, zero, -wx], -1),
+            jnp.stack([-wy, wx, zero], -1),
+        ],
+        -2,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3), K.shape)
+    return (
+        eye
+        + a[..., None] * K
+        + b[..., None] * jnp.matmul(K, K, precision=HIGHEST)
+    )
+
+
+def se3_exp(xi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., 6) twist [rho, w] -> (R (...,3,3), t (...,3)) with the first-order
+    translation (sufficient for the small pose corrections of camera
+    refinement; the reference's deltas start at zero)."""
+    rho = xi[..., 0:3]
+    w = xi[..., 3:6]
+    return so3_exp(w), rho
+
+
 def build_covariance_3d(scale: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndarray:
     """Sigma = R S S^T R^T, (..., 3, 3) full symmetric covariance.
 

@@ -96,6 +96,11 @@ class TrainerConfig:
     use_appearance_mask: bool = False  # VastGaussian decoupled appearance
     lambda_mask: float = 0.0
     mask_lr: float = 1e-3
+    # camera pose refinement (reference: optimizer.lr_pose gates it,
+    # implicit_recon_trainer.py:213-238; deltas start at identity)
+    optimize_camera_poses: bool = False
+    pose_lr: float = 1e-4
+    opt_pose_start_iter: int = 3000
     # misc
     white_background: bool = False
     spatial_lr_scale: float = -1.0  # <0: compute nerf++ norm from cameras
@@ -114,6 +119,16 @@ class TrainState:
     mask_params: dict = flax.struct.field(default_factory=dict)
     mask_mu: dict = flax.struct.field(default_factory=dict)
     mask_nu: dict = flax.struct.field(default_factory=dict)
+    # SE(3) camera pose deltas (n_images, 6), zeros = no correction.
+    pose_deltas: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 6), jnp.float32)
+    )
+    pose_mu: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 6), jnp.float32)
+    )
+    pose_nu: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 6), jnp.float32)
+    )
 
 
 def compute_nerf_plus_plus_norm(cameras: Sequence[Camera]) -> float:
@@ -142,6 +157,7 @@ def init_train_state(
 
         mask_params = init_appearance_params(max(n_images, 1))
     zeros_like_tree = lambda t: jax.tree.map(jnp.zeros_like, t)
+    pose = jnp.zeros((max(n_images, 1), 6), jnp.float32)
     return TrainState(
         model=model,
         opt=init_sparse_adam(model.params),
@@ -152,6 +168,9 @@ def init_train_state(
         mask_params=mask_params,
         mask_mu=zeros_like_tree(mask_params),
         mask_nu=zeros_like_tree(mask_params),
+        pose_deltas=pose,
+        pose_mu=jnp.zeros_like(pose),
+        pose_nu=jnp.zeros_like(pose),
     )
 
 
@@ -215,7 +234,17 @@ def make_train_step(
     lrs_fn, exposure_lr_fn = make_lr_schedules(cfg, spatial_lr_scale)
     bg = jnp.asarray(background, jnp.float32)
 
-    def loss_fn(params, offset, exposure_row, mask_params, camera, gt, alive, admm_args):
+    def loss_fn(params, offset, exposure_row, mask_params, pose_delta, camera, gt, alive, admm_args):
+        if cfg.optimize_camera_poses:
+            # Left-multiply the SE(3) correction onto world->camera
+            # (camera.py:188-206 update_camera_pose equivalent).
+            from dogs_tpu.core.transforms import se3_exp
+
+            dR, dt = se3_exp(pose_delta)
+            camera = camera.replace(
+                R=jnp.matmul(dR, camera.R, precision=jax.lax.Precision.HIGHEST),
+                t=jnp.matmul(dR, camera.t, precision=jax.lax.Precision.HIGHEST) + dt,
+            )
         out = render_tiled(
             params,
             camera,
@@ -283,13 +312,14 @@ def make_train_step(
         params = ts.model.params
         offset = jnp.zeros((params.capacity, 2), jnp.float32)
         exposure_row = ts.exposure[camera.image_index]
+        pose_row = ts.pose_deltas[camera.image_index]
         (loss, aux), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+            loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
         )(
-            params, offset, exposure_row, ts.mask_params, camera, gt,
-            ts.model.alive, admm_args,
+            params, offset, exposure_row, ts.mask_params, pose_row, camera,
+            gt, ts.model.alive, admm_args,
         )
-        g_params, g_offset, g_exposure, g_mask = grads
+        g_params, g_offset, g_exposure, g_mask, g_pose = grads
         radii = aux["radii"]
         visible = (radii > 0.0) & ts.model.alive
 
@@ -341,6 +371,23 @@ def make_train_step(
             exp_mu = exp_mu.at[camera.image_index].set(mu_row)
             exp_nu = exp_nu.at[camera.image_index].set(nu_row)
 
+        pose_deltas, pose_mu, pose_nu = ts.pose_deltas, ts.pose_mu, ts.pose_nu
+        if cfg.optimize_camera_poses:
+            # Pose refinement engages after opt_pose_start_iter
+            # (gaussian_trainer.py:366-370) and never moves camera 0 (gauge).
+            lr_eff = jnp.where(
+                (ts.step >= cfg.opt_pose_start_iter) & (camera.image_index != 0),
+                cfg.pose_lr, 0.0,
+            )
+            row, mu_row, nu_row = adam_step(
+                pose_row, g_pose,
+                pose_mu[camera.image_index], pose_nu[camera.image_index],
+                lr_eff, ts.step,
+            )
+            pose_deltas = pose_deltas.at[camera.image_index].set(row)
+            pose_mu = pose_mu.at[camera.image_index].set(mu_row)
+            pose_nu = pose_nu.at[camera.image_index].set(nu_row)
+
         new_ts = TrainState(
             model=model,
             opt=new_opt,
@@ -351,6 +398,9 @@ def make_train_step(
             mask_params=mask_params,
             mask_mu=mask_mu,
             mask_nu=mask_nu,
+            pose_deltas=pose_deltas,
+            pose_mu=pose_mu,
+            pose_nu=pose_nu,
         )
         metrics = dict(
             loss=loss,

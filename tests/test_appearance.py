@@ -61,3 +61,45 @@ def test_trainer_with_appearance_mask_learns():
     assert float(trainer.train_iteration(61)["loss"]) < float(first["loss"])
     e0 = np.asarray(trainer.state.mask_params["embed"])
     assert np.abs(e0).max() > 0
+
+
+def test_pose_optimization_improves_with_perturbed_cameras():
+    """Perturb training camera poses; pose refinement should recover some
+    of the loss vs frozen poses."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from dogs_tpu.core.transforms import so3_exp
+
+    scene = make_scene(n_gaussians=48, n_cams=6, width=64, height=64, seed=71,
+                       raster_cfg=RASTER)
+    rng = np.random.RandomState(0)
+    pert_cams = []
+    for i, cam in enumerate(scene.cameras):
+        if i == 0:
+            pert_cams.append(cam)
+            continue
+        dR = np.asarray(so3_exp(jnp.asarray(rng.randn(3) * 0.01, jnp.float32)))
+        pert_cams.append(cam.replace(R=jnp.asarray(dR) @ cam.R))
+
+    def run(optimize):
+        cfg = TrainerConfig(
+            max_iterations=120, densify_start_iter=10**9, min_capacity=64,
+            max_sh_degree=2, sh_increase_interval=1,
+            optimize_camera_poses=optimize, pose_lr=3e-4, opt_pose_start_iter=10,
+        )
+        tr = GaussianSplatTrainer(
+            cameras=pert_cams, images=scene.images,
+            points=scene.points, colors=scene.colors, cfg=cfg, raster_cfg=RASTER,
+        )
+        m = tr.train(num_iterations=120, log_every=0)
+        return float(m["loss"]), tr
+
+    loss_frozen, _ = run(False)
+    loss_opt, tr = run(True)
+    assert loss_opt < loss_frozen
+    # Deltas moved for non-anchor cameras, camera 0 stays fixed (gauge).
+    d = np.asarray(tr.state.pose_deltas)
+    assert np.abs(d[0]).max() == 0.0
+    assert np.abs(d[1:]).max() > 0.0

@@ -107,6 +107,9 @@ def _trainer_config(config):
         ),
         lambda_mask=float(config.loss.get("lambda_mask", 0.0)),
         mask_lr=float(lr.get("mask", 1e-3)),
+        optimize_camera_poses=bool(lr.get("pose", 0.0)),
+        pose_lr=float(lr.get("pose", 0.0) or 1e-4),
+        opt_pose_start_iter=int(config.geometry.get("opt_pose_start_iter", 3000)),
         white_background=bool(config.dataset.get("apply_mask", False)),
         spatial_lr_scale=float(geo.get("spatial_lr_scale", -1.0)),
     )
