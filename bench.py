@@ -67,11 +67,10 @@ def main():
     from dogs_tpu.core.camera import make_camera
     from dogs_tpu.fields.model import GaussianModelState
     from dogs_tpu.raster.tiled import RasterConfig
-    from dogs_tpu.train.optim import init_sparse_adam
     from dogs_tpu.train.trainer import (
         TrainerConfig,
-        TrainState,
         make_train_step,
+        train_state_from_model,
     )
 
     params = bench_scene(N_GAUSSIANS)
@@ -90,16 +89,10 @@ def main():
         denom=jnp.zeros((capacity,)),
         max_radii2d=jnp.zeros((capacity,)),
     )
-    ts = TrainState(
-        model=model,
-        opt=init_sparse_adam(params),
-        exposure=jnp.tile(jnp.eye(3, 4)[None], (1, 1, 1)),
-        exposure_mu=jnp.zeros((1, 3, 4)),
-        exposure_nu=jnp.zeros((1, 3, 4)),
-        step=jnp.zeros((), jnp.int32),
-    )
-
     cfg = TrainerConfig(max_iterations=30000)
+    # Build the state through the trainer's own constructor so the bench can
+    # never drift from the TrainState field set (round-1 regression).
+    ts = train_state_from_model(model, n_images=1, cfg=cfg)
     raster_cfg = RasterConfig(
         max_tiles_per_gaussian=12, bin_capacity=1_600_000, use_pallas=True
     )

@@ -195,10 +195,19 @@ def save_block(
     bounds: np.ndarray,
     bounds_expanded: np.ndarray,
     transform: np.ndarray,
+    images: list[np.ndarray] | None = None,
 ) -> None:
     """Write one block's manifest (replaces MiniDataset.write,
-    dataset_base.py:111-124)."""
+    dataset_base.py:111-124).
+
+    `images` embeds pixel data in the manifest (synthetic/e2e-test scenes
+    whose images exist only in memory); real scenes rely on `image_path`s."""
     os.makedirs(path, exist_ok=True)
+    if images is not None:
+        np.savez_compressed(
+            os.path.join(path, "images.npz"),
+            images=np.stack(images).astype(np.float16),
+        )
     np.savez_compressed(
         os.path.join(path, "block.npz"),
         R=np.stack([c.R for c in cameras]) if cameras else np.zeros((0, 3, 3)),
@@ -242,6 +251,10 @@ def load_block(path: str):
                 image_index=int(data["image_index"][i]),
             )
         )
+    images = None
+    img_path = os.path.join(path, "images.npz")
+    if os.path.exists(img_path):
+        images = list(np.load(img_path)["images"].astype(np.float32))
     return dict(
         cameras=cameras,
         points=data["points"],
@@ -249,4 +262,5 @@ def load_block(path: str):
         bounds=data["bounds"],
         bounds_expanded=data["bounds_expanded"],
         transform=data["transform"],
+        images=images,
     )

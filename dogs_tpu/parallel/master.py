@@ -56,11 +56,79 @@ def gather_block_models(state: AdmmBlockState) -> list[GaussianModelState]:
     return models
 
 
+def _fused_model_state(fused: dict) -> GaussianModelState:
+    """Pack fused host arrays into a padded GaussianModelState."""
+    from dogs_tpu.core.gaussians import GaussianParams, round_up_capacity
+    from dogs_tpu.fields.model import fresh_stats
+
+    n = fused["xyz"].shape[0]
+    cap = round_up_capacity(n, 1024)
+    pad = lambda a: np.concatenate(
+        [a, np.zeros((cap - n,) + a.shape[1:], np.float32)], axis=0
+    )
+    params = GaussianParams(
+        xyz=jnp.asarray(pad(fused["xyz"])),
+        feat_dc=jnp.asarray(pad(fused["feat_dc"])),
+        feat_rest=jnp.asarray(pad(fused["feat_rest"])),
+        log_scale=jnp.asarray(pad(fused["log_scale"])),
+        quat=jnp.asarray(pad(fused["quat"])),
+        logit_opacity=jnp.asarray(pad(fused["logit_opacity"])),
+    )
+    ga, de, mr = fresh_stats(cap)
+    return GaussianModelState(
+        params=params, alive=jnp.arange(cap) < n,
+        grad_accum=ga, denom=de, max_radii2d=mr,
+    )
+
+
+def prune_fused_gaussians(
+    fused: dict,
+    cameras: Sequence[Camera],
+    raster_cfg: RasterConfig,
+    prune_percent: float,
+    v_pow: float = 0.1,
+    active_sh_degree: int = 3,
+) -> dict:
+    """Post-merge global importance prune (master:103-121
+    prune_gaussians_after_merge): accumulate every Gaussian's blend weight
+    over ALL block cameras via the importance render, score by
+    importance x volume^v_pow, drop the lowest 0.4 * prune_percent.
+
+    Returns the pruned fused dict (host arrays)."""
+    from dogs_tpu.fields.lightgaussian import calculate_v_imp_score, prune_list
+
+    model = _fused_model_state(fused)
+    imp = prune_list(model, cameras, raster_cfg, active_sh_degree)
+    scores = np.asarray(
+        calculate_v_imp_score(model, imp, v_pow), np.float32
+    )
+    n = fused["xyz"].shape[0]
+    scores = scores[:n]
+    k = int(0.4 * prune_percent * max(n - 1, 0))
+    if k <= 0:
+        return fused
+    order = np.argsort(scores)
+    keep = np.ones((n,), bool)
+    keep[order[:k]] = False
+    logger.info("post-merge prune: %d -> %d gaussians", n, int(keep.sum()))
+    return {f: v[keep] for f, v in fused.items()}
+
+
 def fuse_local_gaussians(
     models: Sequence[GaussianModelState],
     partition: BlockPartition,
+    prune_cameras: Sequence[Camera] | None = None,
+    raster_cfg: RasterConfig | None = None,
+    prune_percent: float = 0.0,
+    prune_v_pow: float = 0.1,
+    active_sh_degree: int = 3,
 ) -> tuple[dict, list[np.ndarray]]:
-    """De-overlap crop + concat + re-select (master:557-618, helpers :37-172).
+    """De-overlap crop + concat + global prune + re-select
+    (master:557-618, helpers :37-172).
+
+    When `prune_cameras` is given, the merged model is importance-pruned
+    before re-partitioning (master:589 calls prune_gaussians_after_merge) so
+    redundant boundary Gaussians don't inflate the ADMM phase.
 
     Returns (global model arrays dict, per-block global-index lists).
     """
@@ -88,6 +156,16 @@ def fuse_local_gaussians(
         owners.append(np.full(int(keep.sum()), k, np.int32))
 
     out = {f: np.concatenate(v, axis=0) for f, v in fused.items()}
+    owner_ids = np.concatenate(owners) if owners else np.zeros((0,), np.int32)
+
+    if prune_cameras is not None and prune_percent > 0.0:
+        out["__owner__"] = owner_ids  # rides the same keep-mask
+        out = prune_fused_gaussians(
+            out, prune_cameras, raster_cfg or RasterConfig(),
+            prune_percent, prune_v_pow, active_sh_degree,
+        )
+        owner_ids = out.pop("__owner__")
+
     n_global = out["xyz"].shape[0]
 
     # Re-select per-block sub-gaussians from the EXPANDED (overlapping)
@@ -103,7 +181,7 @@ def fuse_local_gaussians(
         )
         # Every Gaussian must stay trainable somewhere: its owner block
         # always keeps it even if bbox expansion rounds it out.
-        in_exp |= np.concatenate(owners) == k
+        in_exp |= owner_ids == k
         block_ids.append(np.nonzero(in_exp)[0].astype(np.int32))
     logger.info(
         "fused %d gaussians; block sub-sizes %s",
@@ -230,13 +308,59 @@ class MasterTrainer:
             metrics["dual_xyz"] = float(dual.xyz)
         return {k: float(v) for k, v in metrics.items()}
 
+    def _grow_blocks(self, new_capacity: int):
+        """Grow every block's shared capacity bucket (the distributed
+        equivalent of the single-device trainer's grow_capacity,
+        trainer.py:443-468 — round-1 Weak #3: overflow was dropped)."""
+        from dogs_tpu.train.trainer import grow_capacity
+
+        old_cap = self.state.train.model.params.xyz.shape[1]
+        pad = new_capacity - old_cap
+        assert pad > 0
+        logger.info("growing block capacity %d -> %d", old_cap, new_capacity)
+        train = jax.vmap(lambda ts: grow_capacity(ts, new_capacity))(
+            self.state.train
+        )
+        pad1 = lambda a: jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], pad) + a.shape[2:], a.dtype)], axis=1
+        )
+        u = jax.tree.map(pad1, self.state.u)
+        z_local = jax.tree.map(pad1, self.state.z_local)
+        slot_map = jnp.concatenate(
+            [
+                self.state.slot_map,
+                jnp.full((self.state.slot_map.shape[0], pad), self.n_global, jnp.int32),
+            ],
+            axis=1,
+        )
+        self.state = AdmmBlockState(
+            train=train, u=u, slot_map=slot_map, z_local=z_local
+        )
+        self._build_steps()  # shapes changed -> fresh compile bucket
+
     def _densify_blocks(self):
         """Per-block local densification, vmapped over the block axis —
-        the slaves' local densify/prune, no host round trip per block."""
+        the slaves' local densify/prune, no host round trip per block.
+        Grows the shared capacity bucket first when any block would
+        overflow (mirrors trainer.py:569-586 _maybe_densify)."""
+        from dogs_tpu.core.gaussians import round_up_capacity
+        from dogs_tpu.fields.model import required_slots
+
+        need = jax.vmap(
+            lambda m: required_slots(
+                m, self.cfg.densify_grad_threshold, self.cfg.percent_dense,
+                self.spatial_lr_scale,
+            )
+        )(self.state.train.model)
+        max_need = int(jnp.max(need))
+        if max_need > 0:
+            cap = self.state.train.model.params.xyz.shape[1]
+            self._grow_blocks(round_up_capacity(cap + max_need))
+
         b = self.state.slot_map.shape[0]
         self.jax_key, sub = jax.random.split(self.jax_key)
         keys = jax.random.split(sub, b)
-        new_model, allocated, _ = self._densify(self.state.train.model, keys)
+        new_model, allocated, overflow = self._densify(self.state.train.model, keys)
         from dogs_tpu.train.trainer import zero_moments_at
 
         # Zero Adam moments at reallocated slots, per block.
@@ -244,11 +368,22 @@ class MasterTrainer:
         self.state = self.state.replace(
             train=self.state.train.replace(model=new_model, opt=opt)
         )
+        total_overflow = int(jnp.sum(overflow))
+        if total_overflow > 0:  # pragma: no cover - capacity growth prevents it
+            logger.warning("block densify overflow: %d dropped", total_overflow)
 
     def fuse_and_enable_admm(self):
         """The one-time fusion phase boundary (master:557-618)."""
         models = gather_block_models(self.state)
-        fused, block_ids = fuse_local_gaussians(models, self.partition)
+        all_cams = [c for cams in self.block_cameras for c in cams]
+        fused, block_ids = fuse_local_gaussians(
+            models, self.partition,
+            prune_cameras=all_cams if self.cfg.prune_percent > 0 else None,
+            raster_cfg=self.raster_cfg,
+            prune_percent=self.cfg.prune_percent,
+            prune_v_pow=self.cfg.prune_v_pow,
+            active_sh_degree=self.cfg.max_sh_degree,
+        )
         self.n_global = fused["xyz"].shape[0]
         from dogs_tpu.core.sh import sh_to_rgb
 
@@ -286,33 +421,140 @@ class MasterTrainer:
         logger.info("ADMM enabled at step %d with %d global gaussians",
                     self.step, self.n_global)
 
+    # ---- checkpoint / resume (ADMM state) -----------------------------------
+    # The reference persists the fused global model + rho on the master
+    # (master_gaussian_trainer.py:749-786) and duals + rho on every slave
+    # (slave_gaussian_trainer.py:209-262). Here ONE artifact holds everything:
+    # the full AdmmBlockState (per-block train states, duals u, slot maps,
+    # cached z) plus rho / step / phase flags in the extra dict.
+
+    def save_checkpoint(self, manager) -> str:
+        extra = {
+            "step": self.step,
+            "admm_enabled": bool(self.admm_enabled),
+            "n_global": int(self.n_global),
+            "rho": [float(r) for r in self.rho.astuple()],
+            "np_rng": self.rng.get_state()[1].tolist(),
+            "jax_key": np.asarray(jax.random.key_data(self.jax_key)).tolist(),
+        }
+        return manager.save(self.step, self.state, extra)
+
+    def load_checkpoint(self, manager, path: str | None = None) -> int:
+        """Resume a block run; returns the restored step (0 = nothing found).
+
+        load_pytree matches leaves by path, so the template's shapes don't
+        need to match the stored ones — but the structure must, so the
+        trainer has to be constructed with the same config/partition.
+        """
+        path = path or manager.latest_path()
+        if path is None:
+            return 0
+        state, extra = manager.load(self.state, path)
+        self.state = state
+        self.step = int(extra["step"])
+        self.n_global = int(extra["n_global"])
+        self.admm_enabled = bool(extra["admm_enabled"])
+        from dogs_tpu.core.gaussians import GaussianParams
+
+        self.rho = GaussianParams(
+            *[jnp.float32(v) for v in extra["rho"]]
+        )
+        if "np_rng" in extra:
+            st = self.rng.get_state()
+            self.rng.set_state(
+                (st[0], np.asarray(extra["np_rng"], np.uint32), 0, 0, 0.0)
+            )
+        if "jax_key" in extra:
+            self.jax_key = jax.random.wrap_key_data(
+                jnp.asarray(extra["jax_key"], jnp.uint32)
+            )
+        self._build_steps()
+        return self.step
+
+    # ---- construction from on-disk block manifests ---------------------------
+    @classmethod
+    def from_manifests(
+        cls,
+        mesh: Mesh,
+        scene_root: str,
+        mx: int,
+        my: int,
+        trainer_cfg: TrainerConfig,
+        raster_cfg: RasterConfig,
+        admm_cfg: AdmmConfig = AdmmConfig(),
+        spatial_lr_scale: float = -1.0,
+        seed: int = 42,
+    ) -> "MasterTrainer":
+        """Build the block trainer from `blocks_{mx}x{my}/block_k` manifests
+        written by preprocess_large_scale_data.py — the CLI path equivalent
+        of the reference's torchrun entry (master_gaussian_trainer.py:839-873,
+        where each slave MiniDataset.read()s its block from shared disk)."""
+        import os
+
+        from dogs_tpu.data.blocks import block_dir, load_block
+
+        b = mx * my
+        blocks = [load_block(block_dir(scene_root, mx, my, k)) for k in range(b)]
+        out_root = os.path.dirname(block_dir(scene_root, mx, my, 0))
+        transform = np.load(os.path.join(out_root, "world_to_obb_transform.npy"))
+        bounds = np.loadtxt(
+            os.path.join(out_root, "bounding_boxes_origin.txt")
+        ).reshape(b, 2, 2)
+        bounds_exp = np.loadtxt(
+            os.path.join(out_root, "bounding_boxes.txt")
+        ).reshape(b, 2, 2)
+        partition = BlockPartition(
+            num_blocks=b,
+            transform=transform,
+            camera_labels=np.concatenate(
+                [np.full(len(blk["cameras"]), k, np.int32) for k, blk in enumerate(blocks)]
+            ),
+            bounds=bounds,
+            bounds_expanded=bounds_exp,
+            point_masks=[],
+        )
+        block_cameras, block_images = [], []
+        for blk in blocks:
+            # Exposure/pose rows are indexed per block -> re-index locally.
+            cams = [
+                dataclasses.replace(r, image_index=i).to_camera()
+                for i, r in enumerate(blk["cameras"])
+            ]
+            block_cameras.append(cams)
+            if blk.get("images") is not None:
+                block_images.append([np.asarray(im, np.float32) for im in blk["images"]])
+            else:
+                from dogs_tpu.data.reader import LazyImageList
+
+                block_images.append(
+                    LazyImageList([r.image_path for r in blk["cameras"]])
+                )
+        all_cams = [c for cams in block_cameras for c in cams]
+        if spatial_lr_scale <= 0:
+            from dogs_tpu.train.trainer import compute_nerf_plus_plus_norm
+
+            spatial_lr_scale = compute_nerf_plus_plus_norm(all_cams)
+        return cls(
+            mesh=mesh,
+            partition=partition,
+            block_points=[blk["points"] for blk in blocks],
+            block_colors=[blk["colors"] for blk in blocks],
+            block_cameras=block_cameras,
+            block_images=block_images,
+            trainer_cfg=trainer_cfg,
+            raster_cfg=raster_cfg,
+            admm_cfg=admm_cfg,
+            spatial_lr_scale=spatial_lr_scale,
+            seed=seed,
+        )
+
     # ---- evaluation on the fused global model -------------------------------
     def global_model(self) -> GaussianModelState:
         """Consensus-averaged global model for validation/export
         (master's validate-time fusion, master:730-744)."""
         models = gather_block_models(self.state)
         fused, _ = fuse_local_gaussians(models, self.partition)
-        n = fused["xyz"].shape[0]
-        from dogs_tpu.core.gaussians import GaussianParams, round_up_capacity
-        from dogs_tpu.fields.model import fresh_stats
-
-        cap = round_up_capacity(n, 1024)
-        pad = lambda a: np.concatenate(
-            [a, np.zeros((cap - n,) + a.shape[1:], np.float32)], axis=0
-        )
-        params = GaussianParams(
-            xyz=jnp.asarray(pad(fused["xyz"])),
-            feat_dc=jnp.asarray(pad(fused["feat_dc"])),
-            feat_rest=jnp.asarray(pad(fused["feat_rest"])),
-            log_scale=jnp.asarray(pad(fused["log_scale"]) - 0.0),
-            quat=jnp.asarray(pad(fused["quat"])),
-            logit_opacity=jnp.asarray(pad(fused["logit_opacity"])),
-        )
-        ga, de, mr = fresh_stats(cap)
-        return GaussianModelState(
-            params=params, alive=jnp.arange(cap) < n,
-            grad_accum=ga, denom=de, max_radii2d=mr,
-        )
+        return _fused_model_state(fused)
 
     def validate(self, cameras, images) -> dict:
         model = self.global_model()

@@ -140,17 +140,20 @@ def compute_nerf_plus_plus_norm(cameras: Sequence[Camera]) -> float:
     return float(radius * 1.1)
 
 
-def init_train_state(
-    points: np.ndarray,
-    colors: np.ndarray,
+def train_state_from_model(
+    model: GaussianModelState,
     n_images: int,
     cfg: TrainerConfig,
 ) -> TrainState:
-    capacity = round_up_capacity(points.shape[0], cfg.min_capacity)
-    model = init_from_points(
-        jnp.asarray(points), jnp.asarray(colors), capacity, cfg.max_sh_degree
+    """Fill every non-model TrainState field for a given model.
+
+    Single source of truth for the TrainState field set: anything that
+    constructs a state by hand (bench.py, tools, tests) must go through here
+    so that adding a field to TrainState cannot silently break them.
+    """
+    exposure = jnp.tile(
+        jnp.eye(3, 4, dtype=jnp.float32)[None], (max(n_images, 1), 1, 1)
     )
-    exposure = jnp.tile(jnp.eye(3, 4, dtype=jnp.float32)[None], (max(n_images, 1), 1, 1))
     mask_params = {}
     if cfg.use_appearance_mask:
         from dogs_tpu.fields.appearance import init_appearance_params
@@ -172,6 +175,19 @@ def init_train_state(
         pose_mu=jnp.zeros_like(pose),
         pose_nu=jnp.zeros_like(pose),
     )
+
+
+def init_train_state(
+    points: np.ndarray,
+    colors: np.ndarray,
+    n_images: int,
+    cfg: TrainerConfig,
+) -> TrainState:
+    capacity = round_up_capacity(points.shape[0], cfg.min_capacity)
+    model = init_from_points(
+        jnp.asarray(points), jnp.asarray(colors), capacity, cfg.max_sh_degree
+    )
+    return train_state_from_model(model, n_images, cfg)
 
 
 def apply_exposure(image: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
@@ -312,7 +328,13 @@ def make_train_step(
         params = ts.model.params
         offset = jnp.zeros((params.capacity, 2), jnp.float32)
         exposure_row = ts.exposure[camera.image_index]
-        pose_row = ts.pose_deltas[camera.image_index]
+        # Only read the per-image pose delta when pose refinement is on —
+        # states built without pose buffers (size-(0,6) defaults) must still
+        # run (round-1 bench regression: indexing the empty default crashed).
+        if cfg.optimize_camera_poses:
+            pose_row = ts.pose_deltas[camera.image_index]
+        else:
+            pose_row = jnp.zeros((6,), jnp.float32)
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
         )(
