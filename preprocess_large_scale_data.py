@@ -22,7 +22,78 @@ logging.basicConfig(level=logging.INFO)
 logger = logging.getLogger("preprocess")
 
 
+def synthetic_block_scene(config):
+    """Deterministic in-memory scene for the synthetic block path (the same
+    generator train_admm.py rebuilds for its val split)."""
+    from dogs_tpu.data.dataset import CameraRecord
+    from dogs_tpu.data.synthetic import make_scene
+
+    scene = make_scene(
+        n_gaussians=int(config.dataset.get("n_gaussians", 96)),
+        n_cams=int(config.dataset.get("n_cams", 12)),
+        width=int(config.dataset.get("width", 96)),
+        height=int(config.dataset.get("height", 80)),
+        seed=int(config.get("seed", 42)),
+    )
+    n_val = max(
+        len(scene.cameras) // int(config.dataset.get("val_interval", 8)), 1
+    )
+    records = [
+        CameraRecord(
+            R=np.asarray(c.R), t=np.asarray(c.t),
+            fx=float(c.fx), fy=float(c.fy), cx=float(c.cx), cy=float(c.cy),
+            width=c.width, height=c.height, image_path="", image_index=i,
+        )
+        for i, c in enumerate(scene.cameras[n_val:])
+    ]
+    return scene, records, scene.images[n_val:], n_val
+
+
+def preprocess_synthetic(config, scene_name: str) -> None:
+    """Partition + write block manifests for a generated scene — lets the
+    whole preprocess -> phase1 -> fusion -> ADMM CLI chain run without any
+    dataset on disk (reference equivalent: preprocess_large_scale_data.py on
+    a tiny COLMAP model)."""
+    root = os.path.join(config.dataset.root_dir, scene_name)
+    mx = int(config.dataset.get("mx", 2))
+    my = int(config.dataset.get("my", 2))
+    sf = config.dataset.get("bbox_scale_factor", [1.4, 1.4, 1.4])
+    sc, records, images, _ = synthetic_block_scene(config)
+    cam_pos = np.stack([r.center for r in records])
+    part = partition_scene(cam_pos, sc.points, mx, my, sf[:2])
+
+    out_root = os.path.dirname(block_dir(root, mx, my, 0))
+    os.makedirs(out_root, exist_ok=True)
+    np.save(os.path.join(out_root, "world_to_obb_transform.npy"), part.transform)
+    np.savetxt(
+        os.path.join(out_root, "bounding_boxes_origin.txt"),
+        part.bounds.reshape(part.num_blocks, -1),
+    )
+    np.savetxt(
+        os.path.join(out_root, "bounding_boxes.txt"),
+        part.bounds_expanded.reshape(part.num_blocks, -1),
+    )
+    for k in range(part.num_blocks):
+        sel = [i for i, lbl in enumerate(part.camera_labels) if lbl == k]
+        mask = part.point_masks[k]
+        save_block(
+            block_dir(root, mx, my, k),
+            [records[i] for i in sel],
+            sc.points[mask],
+            sc.colors[mask],
+            part.bounds[k],
+            part.bounds_expanded[k],
+            part.transform,
+            images=[images[i] for i in sel],
+        )
+        logger.info(
+            "block %d: %d cameras, %d points", k, len(sel), int(mask.sum())
+        )
+
+
 def preprocess_scene(config, scene: str) -> None:
+    if config.dataset.get("name", "") == "synthetic":
+        return preprocess_synthetic(config, scene)
     root = os.path.join(config.dataset.root_dir, scene)
     mx = int(config.dataset.get("mx", 2))
     my = int(config.dataset.get("my", 2))

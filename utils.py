@@ -121,14 +121,21 @@ def _raster_config(config):
     from dogs_tpu.raster.tiled import RasterConfig
 
     pipe = config.get("pipeline", {})
+    use_pallas = pipe.get("use_pallas", None)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    kw = {}
+    if pipe.get("tile_batch") is not None:
+        kw["tile_batch"] = int(pipe.get("tile_batch"))
+    if pipe.get("chunk") is not None:
+        kw["chunk"] = int(pipe.get("chunk"))
     return RasterConfig(
         antialiasing=bool(config.texture.get("anti_aliasing", False)),
         depth_threshold=float(config.geometry.get("depth_threshold", 0.0)),
         max_tiles_per_gaussian=int(pipe.get("max_tiles_per_gaussian", 16)),
         bin_capacity=pipe.get("bin_capacity", None),
-        use_pallas=bool(
-            pipe.get("use_pallas", jax.default_backend() == "tpu")
-        ),
+        use_pallas=bool(use_pallas),
+        **kw,
     )
 
 
