@@ -215,6 +215,12 @@ def save_block(
         intrinsics=np.asarray(
             [[c.fx, c.fy, c.cx, c.cy, c.width, c.height] for c in cameras]
         ).reshape(-1, 6),
+        dist=np.stack(
+            [
+                np.zeros(4) if c.dist is None else np.asarray(c.dist, np.float64)
+                for c in cameras
+            ]
+        ) if cameras else np.zeros((0, 4)),
         image_index=np.asarray([c.image_index for c in cameras], np.int64),
         points=points.astype(np.float32),
         colors=colors.astype(np.float32),
@@ -243,12 +249,14 @@ def load_block(path: str):
     cameras = []
     for i in range(int(meta["num_cameras"])):
         fx, fy, cx, cy, w, h = data["intrinsics"][i]
+        d = data["dist"][i] if "dist" in data else np.zeros(4)
         cameras.append(
             CameraRecord(
                 R=data["R"][i], t=data["t"][i], fx=fx, fy=fy, cx=cx, cy=cy,
                 width=int(w), height=int(h),
                 image_path=meta["image_paths"][i],
                 image_index=int(data["image_index"][i]),
+                dist=d if np.any(d != 0.0) else None,
             )
         )
     images = None

@@ -17,6 +17,14 @@ import numpy as np
 from dogs_tpu.data.dataset import load_image
 
 
+def _load_item(item, num_channels: int) -> np.ndarray:
+    """Decode one work item: a CameraRecord (exact-size, undistorted decode)
+    or a raw image path."""
+    if hasattr(item, "load"):
+        return item.load()
+    return load_image(item, num_channels)
+
+
 class ImageReader:
     """Prefetches images for an ordered list of (index, path) tasks."""
 
@@ -53,7 +61,7 @@ class ImageReader:
             if self._stop:
                 self._sem.release()
                 return
-            img = load_image(self.image_list[idx], self.num_channels)
+            img = _load_item(self.image_list[idx], self.num_channels)
             with self._cv:
                 self._results[idx] = img
                 self._cv.notify_all()
@@ -90,7 +98,7 @@ class LazyImageList:
 
     def __init__(
         self,
-        paths: list[str],
+        paths: list,  # image paths or CameraRecords
         num_channels: int = 3,
         num_threads: int = 8,
         lookahead: int = 16,
@@ -124,7 +132,7 @@ class LazyImageList:
                 if idx in self._cache or idx in self._pending:
                     continue
                 self._pending.add(idx)
-            img = load_image(self.paths[idx], self.num_channels)
+            img = _load_item(self.paths[idx], self.num_channels)
             with self._cv:
                 self._pending.discard(idx)
                 self._cache[idx] = img

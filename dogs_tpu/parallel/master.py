@@ -526,9 +526,7 @@ class MasterTrainer:
             else:
                 from dogs_tpu.data.reader import LazyImageList
 
-                block_images.append(
-                    LazyImageList([r.image_path for r in blk["cameras"]])
-                )
+                block_images.append(LazyImageList(blk["cameras"]))
         all_cams = [c for cams in block_cameras for c in cams]
         if spatial_lr_scale <= 0:
             from dogs_tpu.train.trainer import compute_nerf_plus_plus_norm

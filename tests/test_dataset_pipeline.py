@@ -1,0 +1,204 @@
+"""Dataset-pipeline parity tests (VERDICT r1 Missing #4).
+
+Covers: images_{factor}/ minification cache generated on demand, per-record
+resize guard (a factor>1 scene with ONLY full-res images loads correctly
+sized GT), lens undistortion, manhattan-world axis swap, and the
+Mega-NeRF / MatrixCity val-split rules.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from dogs_tpu.data.colmap import (
+    ColmapCamera,
+    ColmapImage,
+    write_cameras_bin,
+    write_images_bin,
+    write_points3d_bin,
+)
+from dogs_tpu.data.dataset import (
+    CameraRecord,
+    distortion_coeffs,
+    load_scene,
+    meganerf_val_names,
+    minify_images,
+    undistort_image,
+)
+
+
+def _write_scene(root, n_images=6, w=64, h=48, model="PINHOLE", params=None,
+                 image_names=None):
+    """Tiny COLMAP scene on disk with real PNG images."""
+    import imageio.v2 as imageio
+
+    model_dir = os.path.join(root, "sparse", "0")
+    os.makedirs(model_dir, exist_ok=True)
+    if params is None:
+        params = [50.0, 50.0, w / 2, h / 2]
+    cameras = {1: ColmapCamera(1, model, w, h, np.asarray(params, np.float64))}
+    images = {}
+    rng = np.random.RandomState(0)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    names = image_names or [f"im_{i:03d}.png" for i in range(n_images)]
+    for i, name in enumerate(names):
+        q = np.array([1.0, 0, 0, 0])
+        t = rng.randn(3) * 0.1 + np.array([0, 0, 4.0])
+        images[i + 1] = ColmapImage(i + 1, q, t, 1, name)
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        sub = os.path.dirname(os.path.join(img_dir, name))
+        os.makedirs(sub, exist_ok=True)
+        imageio.imwrite(os.path.join(img_dir, name), arr)
+    write_cameras_bin(os.path.join(model_dir, "cameras.bin"), cameras)
+    write_images_bin(os.path.join(model_dir, "images.bin"), images)
+    pts = rng.randn(50, 3)
+    rgb = (rng.rand(50, 3) * 255).astype(np.uint8)
+    write_points3d_bin(os.path.join(model_dir, "points3D.bin"), pts, rgb)
+    return root
+
+
+def test_factor_scene_without_downsamples(tmp_path):
+    """The round-1 gap: factor>1 with only full-res images on disk."""
+    root = _write_scene(str(tmp_path / "scene"), w=64, h=48)
+    data = load_scene(root, factor=4, val_interval=0, normalize=False)
+    rec = data.train_cameras[0]
+    assert (rec.width, rec.height) == (16, 12)
+    # minify cache was generated on demand...
+    assert os.path.isdir(os.path.join(root, "images_4"))
+    # ...and the decoded GT matches the record's (scaled) intrinsics size.
+    img = rec.load()
+    assert img.shape == (12, 16, 3)
+    # intrinsics scaled by the realized ratio
+    assert rec.fx == pytest.approx(50.0 * 16 / 64)
+
+
+def test_resize_guard_without_pil_cache(tmp_path):
+    """Even pointing at full-res files, record.load() returns record-sized."""
+    root = _write_scene(str(tmp_path / "scene"), w=64, h=48)
+    data = load_scene(
+        root, factor=2, val_interval=0, normalize=False,
+        image_dir=os.path.join(root, "images"),  # bypass the cache
+    )
+    rec = data.train_cameras[0]
+    assert rec.load().shape == (24, 32, 3)
+
+
+def test_minify_preserves_subdirs(tmp_path):
+    root = _write_scene(
+        str(tmp_path / "scene"), image_names=["sub/a.png", "b.png"], n_images=2
+    )
+    out = minify_images(root, 2)
+    assert out.endswith("images_2")
+    assert os.path.exists(os.path.join(out, "sub", "a.png"))
+    assert os.path.exists(os.path.join(out, "b.png"))
+
+
+def test_undistortion_inverts_distortion():
+    """Sampling a smooth pattern through the forward distortion model and
+    undistorting recovers the original (interior pixels)."""
+    w, h, fx, fy, cx, cy = 80, 60, 60.0, 60.0, 40.0, 30.0
+    dist = np.array([-0.15, 0.05, 0.0, 0.0])
+    u, v = np.meshgrid(np.arange(w, dtype=np.float64),
+                       np.arange(h, dtype=np.float64))
+    pattern = lambda uu, vv: 0.5 + 0.4 * np.sin(uu / 7.0) * np.cos(vv / 5.0)
+    # Build the DISTORTED image: pixel (u,v) of the distorted image shows the
+    # scene ray whose undistorted projection is at the inverse-distorted
+    # position; equivalently the undistorted image I_u satisfies
+    # I_d(distort(x)) = I_u(x). Render I_d by inverting numerically.
+    x = (u - cx) / fx
+    y = (v - cy) / fy
+    xd, yd = x.copy(), y.copy()
+    for _ in range(30):  # Newton-free fixed point for the inverse
+        r2 = xd * xd + yd * yd
+        f = 1.0 + r2 * (dist[0] + dist[1] * r2)
+        xd = x / f
+        yd = y / f
+    img_d = pattern(xd * fx + cx, yd * fy + cy)[..., None].repeat(3, -1)
+    out = undistort_image(img_d.astype(np.float32), fx, fy, cx, cy, dist)
+    expect = pattern(u, v)
+    inner = (slice(10, -10), slice(10, -10))
+    err = np.abs(out[..., 0][inner] - expect[inner])
+    assert float(err.mean()) < 0.01
+
+
+def test_distortion_coeffs_mapping():
+    assert distortion_coeffs("PINHOLE", np.zeros(4)) is None
+    d = distortion_coeffs("SIMPLE_RADIAL", np.array([50.0, 32, 24, 0.1]))
+    np.testing.assert_allclose(d, [0.1, 0, 0, 0])
+    d = distortion_coeffs(
+        "OPENCV", np.array([50.0, 50, 32, 24, 0.1, -0.02, 0.001, 0.002])
+    )
+    np.testing.assert_allclose(d, [0.1, -0.02, 0.001, 0.002])
+    assert distortion_coeffs("SIMPLE_RADIAL", np.array([50.0, 32, 24, 0.0])) is None
+
+
+def test_scene_records_distortion(tmp_path):
+    root = _write_scene(
+        str(tmp_path / "scene"), model="SIMPLE_RADIAL",
+        params=[50.0, 32.0, 24.0, 0.08],
+    )
+    data = load_scene(root, val_interval=0, normalize=False)
+    rec = data.train_cameras[0]
+    assert rec.dist is not None
+    np.testing.assert_allclose(rec.dist, [0.08, 0, 0, 0])
+    assert rec.load().shape == (48, 64, 3)
+
+
+def test_manhattan_world_swap(tmp_path):
+    root = _write_scene(str(tmp_path / "scene"))
+    # manhattan_world model folder preferred when the flag is on
+    import shutil
+
+    shutil.copytree(
+        os.path.join(root, "sparse", "0"),
+        os.path.join(root, "sparse", "manhattan_world"),
+    )
+    plain = load_scene(root, val_interval=0, normalize=False)
+    swapped = load_scene(
+        root, val_interval=0, normalize=False, use_manhattan_world=True,
+        scene_name="campus",
+    )
+    # x stays, (y, z) -> (z, -y)
+    np.testing.assert_allclose(swapped.points[:, 0], plain.points[:, 0])
+    np.testing.assert_allclose(swapped.points[:, 1], plain.points[:, 2])
+    np.testing.assert_allclose(swapped.points[:, 2], -plain.points[:, 1])
+    # camera centers transform consistently
+    c_plain = plain.train_cameras[0].center
+    c_sw = swapped.train_cameras[0].center
+    np.testing.assert_allclose(c_sw, [c_plain[0], c_plain[2], -c_plain[1]],
+                               atol=1e-9)
+    # "building" is exempt (already aligned by COLMAP's aligner)
+    building = load_scene(
+        root, val_interval=0, normalize=False, use_manhattan_world=True,
+        scene_name="building",
+    )
+    np.testing.assert_allclose(building.points, plain.points)
+
+
+def test_matrixcity_split_rule(tmp_path):
+    root = _write_scene(
+        str(tmp_path / "MatrixCity" / "aerial"),
+        image_names=["train/a.png", "train/b.png", "test/c.png", "train/d.png"],
+        n_images=4,
+    )
+    data = load_scene(root, val_interval=0, normalize=False)
+    assert len(data.val_cameras) == 1
+    assert "test/c.png" in data.val_cameras[0].image_path
+    assert len(data.train_cameras) == 3
+
+
+def test_meganerf_val_list_rule(tmp_path):
+    root = _write_scene(str(tmp_path / "rubble"), n_images=5)
+    rgb_dir = os.path.join(root, "val", "rgbs")
+    os.makedirs(rgb_dir)
+    # the first two images are the published val split
+    for name in ["im_000.png", "im_001.png"]:
+        with open(os.path.join(rgb_dir, name), "wb") as f:
+            f.write(b"x")
+    assert meganerf_val_names(root, "rubble") == {"im_000.png", "im_001.png"}
+    data = load_scene(root, val_interval=8, normalize=False, scene_name="rubble")
+    val_names = {os.path.basename(r.image_path) for r in data.val_cameras}
+    assert val_names == {"im_000.png", "im_001.png"}
+    assert len(data.train_cameras) == 3

@@ -1,0 +1,192 @@
+"""Per-stage device timing of the FULL bench train step (chained in-jit).
+
+Every measurement chains the op `reps` times inside one jit with a tiny data
+dependence (axon block_until_ready is a no-op; only value fetches sync), so
+host/tunnel dispatch overhead amortizes away. Also measures the host-loop
+step (the bench's own protocol) to expose per-dispatch overhead.
+
+Usage: python tools/profile_step.py [n_gaussians]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def chain(step_fn, init, reps, label):
+    import jax
+
+    f = jax.jit(lambda c: jax.lax.fori_loop(0, reps, lambda i, cc: step_fn(cc), c))
+    out = f(init)
+    s = jax.tree.leaves(out)[0]
+    float(s.sum() if hasattr(s, "ndim") and s.ndim else s)
+    t0 = time.perf_counter()
+    out = f(init)
+    s = jax.tree.leaves(out)[0]
+    float(s.sum() if hasattr(s, "ndim") and s.ndim else s)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{label:34s} {dt*1e3:8.2f} ms")
+    return dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import BASELINE_ITERS_PER_SEC, N_GAUSSIANS, WIDTH, HEIGHT, bench_scene
+    from dogs_tpu.core.camera import make_camera
+    from dogs_tpu.fields.model import GaussianModelState
+    from dogs_tpu.raster.binning import build_tile_bins
+    from dogs_tpu.raster.projection import project_gaussians
+    from dogs_tpu.raster.tiled import (
+        ENT_WIDTH,
+        RasterConfig,
+        build_aligned_entries,
+        render_tiled,
+    )
+    from dogs_tpu.train.trainer import (
+        TrainerConfig,
+        make_train_step,
+        train_state_from_model,
+    )
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else N_GAUSSIANS
+    w, h = WIDTH, HEIGHT
+    params = bench_scene(n)
+    cam = make_camera(
+        R=np.eye(3), t=np.zeros(3), fx=1000.0, fy=1000.0,
+        cx=w / 2, cy=h / 2, width=w, height=h,
+    )
+    rng = np.random.RandomState(1)
+    gt = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
+    cfg = RasterConfig(
+        max_tiles_per_gaussian=12, bin_capacity=1_600_000, use_pallas=True
+    )
+    ts_grid = cfg.tile_size
+    n_tiles = (-(-h // ts_grid)) * (-(-w // ts_grid))
+
+    # ---- stage timings -----------------------------------------------------
+    def mk(step):
+        return step, jnp.float32(0.0)
+
+    def s_proj(c):
+        p = params.replace(xyz=params.xyz + c * 1e-20)
+        pr = project_gaussians(p, cam, active_sh_degree=3)
+        return jnp.sum(pr.means2d) * 0.0 + c + 1.0
+
+    chain(s_proj, jnp.float32(0), 20, "projection")
+
+    proj = jax.jit(lambda p: project_gaussians(p, cam, active_sh_degree=3))(params)
+
+    def s_bins(c):
+        pr = proj.replace(depth=proj.depth + c * 1e-20)
+        b = build_tile_bins(
+            pr, h, w, tile_size=cfg.tile_size,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            bin_capacity=cfg.bin_capacity,
+        )
+        return jnp.sum(b.sorted_idx) * 0.0 + c + 1.0
+
+    chain(s_bins, jnp.float32(0), 20, "binning keys+sort+starts")
+
+    bins = jax.jit(
+        lambda pr: build_tile_bins(
+            pr, h, w, tile_size=cfg.tile_size,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            bin_capacity=cfg.bin_capacity,
+        )
+    )(proj)
+
+    k = bins.sorted_idx.shape[0]
+    k_al = k + n_tiles * cfg.pallas_chunk
+
+    def s_aligned(c):
+        b = bins.replace(sorted_idx=bins.sorted_idx + (c * 0).astype(jnp.int32))
+        ai, st = build_aligned_entries(b, n, n_tiles, cfg.pallas_chunk, k_al)
+        return jnp.sum(ai[:8]).astype(jnp.float32) * 0.0 + c + 1.0
+
+    chain(s_aligned, jnp.float32(0), 20, "build_aligned_entries")
+
+    ai, ast = jax.jit(
+        lambda b: build_aligned_entries(b, n, n_tiles, cfg.pallas_chunk, k_al)
+    )(bins)
+    ent = jnp.zeros((n + 4096, ENT_WIDTH), jnp.float32)
+
+    def s_gather(c):
+        e = ent + c * 1e-20
+        at = e[ai].T
+        return jnp.sum(at[:, :8]) * 0.0 + c + 1.0
+
+    chain(s_gather, jnp.float32(0), 20, "aligned entry gather+T")
+
+    def s_fwd(c):
+        p = params.replace(xyz=params.xyz + c * 1e-20)
+        out = render_tiled(p, cam, cfg, active_sh_degree=3)
+        return jnp.sum(out.image) * 0.0 + c + 1.0
+
+    t_fwd = chain(s_fwd, jnp.float32(0), 10, "full forward")
+
+    def s_fwdbwd(c):
+        def loss(p):
+            out = render_tiled(p, cam, cfg, active_sh_degree=3)
+            return jnp.mean(out.image) + jnp.mean(out.alpha)
+
+        p = params.replace(xyz=params.xyz + c * 1e-20)
+        g = jax.grad(loss)(p)
+        return jnp.sum(g.xyz) * 0.0 + c + 1.0
+
+    t_fb = chain(s_fwdbwd, jnp.float32(0), 10, "full forward+backward")
+    print(f"{'  => backward alone':34s} {(t_fb-t_fwd)*1e3:8.2f} ms")
+
+    # ---- full train step: in-jit chain vs host loop -------------------------
+    capacity = params.capacity
+    model = GaussianModelState(
+        params=params,
+        alive=jnp.ones((capacity,), bool),
+        grad_accum=jnp.zeros((capacity,)),
+        denom=jnp.zeros((capacity,)),
+        max_radii2d=jnp.zeros((capacity,)),
+    )
+    tcfg = TrainerConfig(max_iterations=30000)
+    ts0 = train_state_from_model(model, n_images=1, cfg=tcfg)
+    step = make_train_step(
+        tcfg, cfg, spatial_lr_scale=5.0, active_sh_degree=3,
+        background=(0.0, 0.0, 0.0), jit=False,
+    )
+
+    def s_train(ts):
+        ts2, _ = step(ts, cam, gt)
+        return ts2
+
+    reps = 10
+    f = jax.jit(
+        lambda ts: jax.lax.fori_loop(0, reps, lambda i, t: s_train(t), ts)
+    )
+    out = f(ts0)
+    float(out.step)
+    t0 = time.perf_counter()
+    out = f(ts0)
+    float(out.step)
+    t_chain = (time.perf_counter() - t0) / reps
+    print(f"{'train step (in-jit chain)':34s} {t_chain*1e3:8.2f} ms")
+
+    jstep = jax.jit(step, donate_argnums=(0,))
+    ts = ts0
+    for _ in range(3):
+        ts, m = jstep(ts, cam, gt)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        ts, m = jstep(ts, cam, gt)
+    float(m["loss"])
+    t_host = (time.perf_counter() - t0) / 10
+    print(f"{'train step (host loop, = bench)':34s} {t_host*1e3:8.2f} ms")
+    print(f"dispatch overhead per step: {(t_host-t_chain)*1e3:.2f} ms")
+    print(f"host-loop it/s: {1/t_host:.2f} (vs baseline {BASELINE_ITERS_PER_SEC})")
+
+
+if __name__ == "__main__":
+    main()

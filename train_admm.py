@@ -78,7 +78,7 @@ def load_val_split(config, scene: str):
 
         sc, _, _, n_val = synthetic_block_scene(config)
         return sc.cameras[:n_val], [np.asarray(im) for im in sc.images[:n_val]]
-    from dogs_tpu.data.dataset import load_image, load_scene
+    from dogs_tpu.data.dataset import load_scene
 
     root = os.path.join(config.dataset.root_dir, scene)
     data = load_scene(
@@ -87,9 +87,13 @@ def load_val_split(config, scene: str):
         val_interval=int(config.dataset.get("val_interval", 8)),
         model_folder=config.dataset.get("model_folder", "sparse"),
         normalize=bool(config.dataset.get("scale", True)),
+        use_manhattan_world=bool(
+            config.dataset.get("use_manhattan_world", False)
+        ),
+        scene_name=scene,
     )
     cams = [r.to_camera() for r in data.val_cameras]
-    imgs = [load_image(r.image_path) for r in data.val_cameras]
+    imgs = [r.load() for r in data.val_cameras]
     return cams, imgs
 
 

@@ -15,7 +15,7 @@ import numpy as np
 
 def _build_dataset(config):
     """SceneData for real scenes or a synthetic teacher-splat scene."""
-    from dogs_tpu.data.dataset import load_image, load_scene
+    from dogs_tpu.data.dataset import load_scene
 
     name = config.dataset.get("name", "synthetic")
     if name == "synthetic":
@@ -45,6 +45,10 @@ def _build_dataset(config):
         val_interval=int(config.dataset.get("val_interval", 8)),
         model_folder=config.dataset.get("model_folder", "sparse"),
         normalize=bool(config.dataset.get("scale", True)),
+        use_manhattan_world=bool(
+            config.dataset.get("use_manhattan_world", False)
+        ),
+        scene_name=str(config.dataset.scene),
     )
     from dogs_tpu.data.reader import LazyImageList
 
@@ -52,8 +56,9 @@ def _build_dataset(config):
     val_cams = [r.to_camera() for r in data.val_cameras]
     # Train images stream lazily with lookahead decode (rubble-scale scenes
     # don't fit in host RAM eagerly); the small val split loads up front.
-    train_imgs = LazyImageList([r.image_path for r in data.train_cameras])
-    val_imgs = [load_image(r.image_path) for r in data.val_cameras]
+    # Records decode at the record's exact resolution + undistorted.
+    train_imgs = LazyImageList(data.train_cameras)
+    val_imgs = [r.load() for r in data.val_cameras]
     return dict(
         train_cameras=train_cams,
         train_images=train_imgs,
