@@ -158,12 +158,38 @@ def partition_scene(
     mx: int,
     my: int,
     bbox_scale_factor=(1.4, 1.4),
+    method: str = "grid",
+    seed: int = 0,
 ) -> BlockPartition:
     """The preprocess_large_scale_data.py block path in one call
-    (load_colmap.py:402-450)."""
+    (load_colmap.py:402-450). `method`: "grid" (equal-count OBB grid,
+    cluster.py Grid2DXY), or "kmeans"/"spectral" (SceneSplitter camera
+    clustering, scene_spliter.py:40-66; block bounds are the compact OBB
+    boxes of each cluster's cameras)."""
     T = obb_transform_from_positions(camera_positions)
     cams_obb = apply_transform(camera_positions, T)
-    labels, bounds = split_compact_grid(cams_obb, mx, my)
+    if method in ("kmeans", "spectral"):
+        from dogs_tpu.data.splitter import clustering
+
+        labels = clustering(
+            camera_positions, mx * my, method="KMeans" if method == "kmeans" else "Spectral",
+            seed=seed,
+        ).astype(np.int32)
+        bounds = np.stack(
+            [
+                np.stack(
+                    [
+                        cams_obb[labels == k, :2].min(0),
+                        cams_obb[labels == k, :2].max(0),
+                    ]
+                )
+                if (labels == k).any()
+                else np.zeros((2, 2), np.float64)
+                for k in range(mx * my)
+            ]
+        )
+    else:
+        labels, bounds = split_compact_grid(cams_obb, mx, my)
     bounds_exp = expand_bounds(bounds, np.asarray(bbox_scale_factor))
     masks = [
         points_in_bounds2d(points, bounds_exp[k], T) for k in range(mx * my)

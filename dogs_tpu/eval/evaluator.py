@@ -34,7 +34,9 @@ logger = logging.getLogger(__name__)
 class EvalConfig:
     output_dir: str = "eval"
     save_images: bool = True
-    apply_color_correction: bool = False
+    # None = reference behavior: color-correct the val split, not test
+    # (gaussian_splatting_evaluator.py:294-299).
+    apply_color_correction: bool | None = None
     compute_lpips: bool = True
     export_models: bool = True
     background: tuple = (0.0, 0.0, 0.0)
@@ -76,13 +78,16 @@ class GaussianSplatEvaluator:
         (gaussian_splatting_evaluator.py:138-251)."""
         out_dir = os.path.join(self.cfg.output_dir, split)
         os.makedirs(out_dir, exist_ok=True)
+        cc = self.cfg.apply_color_correction
+        if cc is None:
+            cc = split == "val"
         per_image = []
         for i, (cam, gt) in enumerate(zip(cameras, images)):
             t0 = time.perf_counter()
             pred = self.render(cam)
             render_time = time.perf_counter() - t0
             gt = np.asarray(gt, np.float32)
-            if self.cfg.apply_color_correction:
+            if cc:
                 pred = np.asarray(color_correct(jnp.asarray(pred), jnp.asarray(gt)))
             entry = {
                 "image": i,

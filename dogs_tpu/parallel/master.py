@@ -489,30 +489,7 @@ class MasterTrainer:
         written by preprocess_large_scale_data.py — the CLI path equivalent
         of the reference's torchrun entry (master_gaussian_trainer.py:839-873,
         where each slave MiniDataset.read()s its block from shared disk)."""
-        import os
-
-        from dogs_tpu.data.blocks import block_dir, load_block
-
-        b = mx * my
-        blocks = [load_block(block_dir(scene_root, mx, my, k)) for k in range(b)]
-        out_root = os.path.dirname(block_dir(scene_root, mx, my, 0))
-        transform = np.load(os.path.join(out_root, "world_to_obb_transform.npy"))
-        bounds = np.loadtxt(
-            os.path.join(out_root, "bounding_boxes_origin.txt")
-        ).reshape(b, 2, 2)
-        bounds_exp = np.loadtxt(
-            os.path.join(out_root, "bounding_boxes.txt")
-        ).reshape(b, 2, 2)
-        partition = BlockPartition(
-            num_blocks=b,
-            transform=transform,
-            camera_labels=np.concatenate(
-                [np.full(len(blk["cameras"]), k, np.int32) for k, blk in enumerate(blocks)]
-            ),
-            bounds=bounds,
-            bounds_expanded=bounds_exp,
-            point_masks=[],
-        )
+        blocks, partition = load_manifest_partition(scene_root, mx, my)
         block_cameras, block_images = [], []
         for blk in blocks:
             # Exposure/pose rows are indexed per block -> re-index locally.
@@ -566,3 +543,70 @@ class MasterTrainer:
             mse = float(np.mean((img - np.asarray(gt)) ** 2))
             psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
         return {"val_psnr": float(np.mean(psnrs)), "num_points": int(model.num_alive)}
+
+
+def load_manifest_partition(
+    scene_root: str, mx: int, my: int
+) -> tuple[list[dict], BlockPartition]:
+    """Read the `blocks_{mx}x{my}` manifests + partition geometry written by
+    preprocess_large_scale_data.py (no mesh/devices needed)."""
+    import os
+
+    from dogs_tpu.data.blocks import block_dir, load_block
+
+    b = mx * my
+    blocks = [load_block(block_dir(scene_root, mx, my, k)) for k in range(b)]
+    out_root = os.path.dirname(block_dir(scene_root, mx, my, 0))
+    transform = np.load(os.path.join(out_root, "world_to_obb_transform.npy"))
+    bounds = np.loadtxt(
+        os.path.join(out_root, "bounding_boxes_origin.txt")
+    ).reshape(b, 2, 2)
+    bounds_exp = np.loadtxt(
+        os.path.join(out_root, "bounding_boxes.txt")
+    ).reshape(b, 2, 2)
+    partition = BlockPartition(
+        num_blocks=b,
+        transform=transform,
+        camera_labels=np.concatenate(
+            [np.full(len(blk["cameras"]), k, np.int32) for k, blk in enumerate(blocks)]
+        ),
+        bounds=bounds,
+        bounds_expanded=bounds_exp,
+        point_masks=[],
+    )
+    return blocks, partition
+
+
+def load_fused_from_checkpoint(
+    ckpt_path: str, partition: BlockPartition
+) -> GaussianModelState:
+    """Host-side fused-model reconstruction from a distributed checkpoint —
+    the eval-time equivalent of the reference evaluator walking per-block
+    checkpoints and merging (conerf/evaluators/evaluator.py:213-259). Works
+    on ONE device of any kind: reads the stacked (B, C, ...) block arrays
+    straight out of the npz (no mesh, no MasterTrainer)."""
+    data = np.load(ckpt_path, allow_pickle=False)
+    from dogs_tpu.core.gaussians import GaussianParams
+    from dogs_tpu.fields.model import fresh_stats
+
+    def leaf(suffix: str) -> np.ndarray:
+        hits = [k for k in data.files if k.endswith(suffix)]
+        assert len(hits) == 1, (suffix, hits)
+        return data[hits[0]]
+
+    fields = ["xyz", "feat_dc", "feat_rest", "log_scale", "quat", "logit_opacity"]
+    stacked = {f: leaf(f".train/.model/.params/.{f}") for f in fields}
+    alive = leaf(".train/.model/.alive")
+    b, cap = alive.shape
+    models = []
+    ga, de, mr = fresh_stats(cap)
+    for k in range(b):
+        params = GaussianParams(**{f: jnp.asarray(stacked[f][k]) for f in fields})
+        models.append(
+            GaussianModelState(
+                params=params, alive=jnp.asarray(alive[k]),
+                grad_accum=ga, denom=de, max_radii2d=mr,
+            )
+        )
+    fused, _ = fuse_local_gaussians(models, partition)
+    return _fused_model_state(fused)

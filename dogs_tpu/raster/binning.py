@@ -141,7 +141,9 @@ def build_tile_bins(
     # top `depth_bits` of the positive-float bit pattern below (positive f32
     # bits compare monotonically as ints, so truncating just quantizes the
     # depth ORDER — ~1e-3 relative resolution, far below any visible effect).
-    # Halving the sort operands nearly halves the dominant lax.sort cost.
+    # (A depth-rank permutation scheme that embeds the rank for a 1-operand
+    # sort was measured and REJECTED: the 500k permutation gather + its VJP
+    # cost ~18 ms against a ~3 ms sort saving.)
     depth_bits = max(30 - max(n_tiles.bit_length(), 1), 8)
     assert (n_tiles << depth_bits) < 2**31, (n_tiles, depth_bits)
     dq = jax.lax.bitcast_convert_type(
@@ -157,9 +159,8 @@ def build_tile_bins(
     # sort (scatter time scales with SOURCE size, ~40ms at 8M candidates).
     sorted_key, sorted_flat = jax.lax.sort((key, payload), num_keys=1)
     if bin_capacity is not None and bin_capacity < n * mt:
-        k = bin_capacity
-        sorted_key = sorted_key[:k]
-        sorted_flat = sorted_flat[:k]
+        sorted_key = sorted_key[:bin_capacity]
+        sorted_flat = sorted_flat[:bin_capacity]
     sorted_tile = sorted_key >> depth_bits
     sorted_idx = sorted_flat // mt  # gaussian id
     tile_starts = jnp.searchsorted(

@@ -425,10 +425,13 @@ def _blend_with_vjp_pallas(
         )  # (W, K_al)
 
         # ---- K_al -> N segmented reduction (sort is the TPU's scatter) ----
-        ops = (aligned_idx,) + tuple(d_ent_t[i] for i in range(ENT_WIDTH))
+        # Only the 10 live gradient columns ride the sort; the padding
+        # columns (incl. the stop-gradient depth) are zeros by construction.
+        n_live = 10
+        ops = (aligned_idx,) + tuple(d_ent_t[i] for i in range(n_live))
         sorted_ops = jax.lax.sort(ops, num_keys=1)
         sg = sorted_ops[0]
-        vals = jnp.stack(sorted_ops[1:], axis=-1)  # (K_al, W)
+        vals = jnp.stack(sorted_ops[1:], axis=-1)  # (K_al, n_live)
         # Runs per gaussian are <= max_tiles_per_gaussian (<= 32): masked
         # suffix-doubling turns each run's FIRST row into the run total.
         # (Filler "trash" runs can be longer; they are never read.)
@@ -448,6 +451,10 @@ def _blend_with_vjp_pallas(
         present = bpos < k_al
         d_rows = jnp.where(
             present[:, None], vals[jnp.minimum(bpos, k_al - 1)], 0.0
+        )
+        d_rows = jnp.concatenate(
+            [d_rows, jnp.zeros((n_real, ENT_WIDTH - n_live), jnp.float32)],
+            axis=1,
         )
         return d_rows, d_bg
 
@@ -472,7 +479,9 @@ def build_aligned_entries(
     Built entirely from vector math + ONE scatter with a 2M source: the
     naive construction gathers tile offsets per entry (2 x 2M-scalar gathers
     ~ 28ms on v5e); here the per-entry pad offset is a cumsum over ~T scalar
-    deltas scattered at run starts (~1ms).
+    deltas scattered at run starts (~1ms). (A fully gather-form variant —
+    per-chunk tile table + source-index math — microbenched faster in
+    isolation but cost ~57ms in the composite step; measured and REJECTED.)
     """
     k = bins.sorted_idx.shape[0]
     n = n_gaussians
@@ -542,6 +551,8 @@ def render_tiled(
         means2d_offset=means2d_offset,
         color_override=color_override,
     )
+    radii_out = proj.radius  # original order (densify stats / visibility)
+
     bins = build_tile_bins(
         proj,
         h,
@@ -603,4 +614,4 @@ def render_tiled(
     image = untile(img_tiles)
     alpha = untile(a_tiles)[..., 0]
     invdepth = untile(d_tiles)[..., 0]
-    return RenderOutput(image=image, alpha=alpha, invdepth=invdepth, radii=proj.radius)
+    return RenderOutput(image=image, alpha=alpha, invdepth=invdepth, radii=radii_out)

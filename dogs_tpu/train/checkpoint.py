@@ -28,15 +28,25 @@ def _flatten_with_paths(tree):
     return out, treedef
 
 
+FORMAT_VERSION = 1
+
+
 def save_pytree(path: str, tree, extra: dict | None = None) -> None:
     arrays, _ = _flatten_with_paths(tree)
-    meta = {"extra": extra or {}}
+    meta = {"extra": extra or {}, "format_version": FORMAT_VERSION}
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
 
 def load_pytree(path: str, template):
     """Load into the structure of `template` (leaves matched by path)."""
     data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"])) if "__meta__" in data else {}
+    version = meta.get("format_version", 1)
+    if version > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint {path} has format_version {version} > supported "
+            f"{FORMAT_VERSION}; upgrade the code or re-export the checkpoint"
+        )
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for p, leaf in flat:
@@ -44,8 +54,14 @@ def load_pytree(path: str, template):
         if key not in data:
             raise KeyError(f"checkpoint missing leaf {key}")
         arr = data[key]
+        tmpl_shape = getattr(leaf, "shape", None)
+        if tmpl_shape is not None and tuple(arr.shape) != tuple(tmpl_shape):
+            raise ValueError(
+                f"checkpoint leaf {key} has shape {arr.shape}, template "
+                f"expects {tmpl_shape} — resize the template (capacity "
+                f"grow/shrink) before loading"
+            )
         leaves.append(jax.numpy.asarray(arr))
-    meta = json.loads(str(data["__meta__"])) if "__meta__" in data else {}
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template), leaves
     ), meta.get("extra", {})

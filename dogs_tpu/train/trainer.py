@@ -105,6 +105,12 @@ class TrainerConfig:
     white_background: bool = False
     spatial_lr_scale: float = -1.0  # <0: compute nerf++ norm from cameras
     min_capacity: int = 4096
+    # device profiling (SURVEY §5.1): capture a jax.profiler trace for
+    # profile_num_steps steps starting at profile_start_step; view with
+    # tensorboard --logdir <profile_dir> or xprof. 0 = disabled.
+    profile_start_step: int = 0
+    profile_num_steps: int = 0
+    profile_dir: str = "profile"
 
 
 @flax.struct.dataclass
@@ -468,6 +474,25 @@ def grow_capacity(ts: TrainState, new_capacity: int) -> TrainState:
     return ts.replace(model=new_model, opt=new_opt)
 
 
+def shrink_capacity(ts: TrainState, new_capacity: int) -> TrainState:
+    """Host-side capacity shrink (resume from a smaller checkpoint): slice
+    the capacity-indexed buffers; per-image state is untouched."""
+    model = ts.model
+    assert 0 < new_capacity < model.capacity
+    cut = lambda a: a[:new_capacity]
+    new_model = GaussianModelState(
+        params=jax.tree.map(cut, model.params),
+        alive=cut(model.alive),
+        grad_accum=cut(model.grad_accum),
+        denom=cut(model.denom),
+        max_radii2d=cut(model.max_radii2d),
+    )
+    new_opt = SparseAdamState(
+        mu=jax.tree.map(cut, ts.opt.mu), nu=jax.tree.map(cut, ts.opt.nu)
+    )
+    return ts.replace(model=new_model, opt=new_opt)
+
+
 def zero_moments_at(opt: SparseAdamState, slots_mask: jnp.ndarray) -> SparseAdamState:
     """Zero Adam moments for newly allocated slots (the replacement for
     cat_tensors_to_optimizer's zero extension, gaussian_splat_model.py:60-108)."""
@@ -673,8 +698,25 @@ class GaussianSplatTrainer:
         start_step = int(self.state.step)
         t0 = time.time()
         metrics = {}
+        tracing = False
         for step in range(start_step + 1, start_step + n + 1):
+            if (
+                self.cfg.profile_num_steps
+                and step == max(self.cfg.profile_start_step, 1)
+                and not tracing
+            ):
+                jax.profiler.start_trace(self.cfg.profile_dir)
+                tracing = True
+                trace_until = step + self.cfg.profile_num_steps
             metrics = self.train_iteration(step)
+            if tracing and step + 1 >= trace_until:
+                jax.tree.map(
+                    lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
+                    self.state.model.params.xyz,
+                )
+                jax.profiler.stop_trace()
+                tracing = False
+                logger.info("profiler trace written to %s", self.cfg.profile_dir)
             if log_every and step % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["iters_per_sec"] = (step - start_step) / (time.time() - t0)
@@ -695,6 +737,8 @@ class GaussianSplatTrainer:
                         tensorboard_writer.add_scalar("val/psnr", val["val_psnr"], step)
             if checkpoint_every and checkpoint_manager and step % checkpoint_every == 0:
                 self.save_checkpoint(checkpoint_manager)
+        if tracing:
+            jax.profiler.stop_trace()
         return metrics
 
     # ---- checkpointing --------------------------------------------------------
@@ -723,10 +767,10 @@ class GaussianSplatTrainer:
         )
         cap = data[xyz_key].shape[0] if xyz_key else None
         if cap is not None and cap != self.state.model.capacity:
-            from dogs_tpu.train.trainer import grow_capacity  # self-module
-
             if cap > self.state.model.capacity:
                 self.state = grow_capacity(self.state, cap)
+            else:
+                self.state = shrink_capacity(self.state, cap)
         state, extra = manager.load(self.state, probe_path)
         if state is not None:
             self.state = state
@@ -737,9 +781,19 @@ class GaussianSplatTrainer:
 
     # ---- validation -----------------------------------------------------------
     def validate(self) -> dict:
-        """PSNR over the val split (implicit_recon_trainer.py:358-375)."""
+        """PSNR over the val split (implicit_recon_trainer.py:358-375).
+
+        The reference's validate() routes through the evaluator, which
+        color-corrects val renders before metrics
+        (gaussian_splatting_evaluator.py:294-299) — the correction absorbs
+        the global appearance/exposure shift a raw render can't represent,
+        so val PSNR stays meaningful when use_trained_exposure or the
+        appearance mask is on.
+        """
         if not self.val_cameras:
             return {}
+        from dogs_tpu.eval.metrics import color_correct
+
         psnrs = []
         deg = self.active_sh_degree(int(self.state.step))
         for cam, gt in zip(self.val_cameras, self.val_images):
@@ -751,7 +805,8 @@ class GaussianSplatTrainer:
                 alive=self.state.model.alive,
                 active_sh_degree=deg,
             )
-            img = np.clip(np.asarray(out.image), 0.0, 1.0)
+            img = jnp.clip(out.image, 0.0, 1.0)
+            img = np.asarray(color_correct(img, jnp.asarray(gt, jnp.float32)))
             mse = float(np.mean((img - gt) ** 2))
             psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
         return {"val_psnr": float(np.mean(psnrs))}

@@ -25,9 +25,11 @@ def create_evaluator(config, trainer):
     from dogs_tpu.eval.evaluator import EvalConfig, GaussianSplatEvaluator
 
     out_root = os.path.join(config.get("root_dir", "out"), config.get("expname", "exp"))
+    cc = config.get("eval", {}).get("color_correct", None)
     cfg = EvalConfig(
         output_dir=os.path.join(out_root, "eval"),
-        apply_color_correction=bool(config.get("eval", {}).get("color_correct", False)),
+        # default None = reference behavior (color-correct val, not test)
+        apply_color_correction=None if cc is None else bool(cc),
         active_sh_degree=int(config.texture.get("max_sh_degree", 3)),
     )
     if config.get("neural_field_type", "gs") == "scaffold_gs":
@@ -37,8 +39,9 @@ def create_evaluator(config, trainer):
             overrides the splat path, exports snapshot a canonical view's
             neural gaussians."""
 
-            def __init__(self, sp, raster_cfg, cfg, cameras):
+            def __init__(self, sp, alive, raster_cfg, cfg, cameras):
                 self.sp = sp
+                self.alive = alive
                 self.raster_cfg = raster_cfg
                 self.cfg = cfg
                 self._export_camera = cameras[0] if cameras else None
@@ -50,6 +53,7 @@ def create_evaluator(config, trainer):
                 out = render_scaffold(
                     self.sp, camera, self.raster_cfg,
                     background=jnp.asarray(self.cfg.background, jnp.float32),
+                    alive=self.alive,
                 )
                 return np.clip(np.asarray(out.image), 0.0, 1.0)
 
@@ -60,7 +64,7 @@ def create_evaluator(config, trainer):
                 import jax.numpy as jnp
 
                 g, colors, alive = generate_neural_gaussians(
-                    self.sp, self._export_camera
+                    self.sp, self._export_camera, alive=self.alive
                 )
                 from dogs_tpu.core.sh import rgb_to_sh
 
@@ -72,12 +76,60 @@ def create_evaluator(config, trainer):
                 )
 
         return ScaffoldEvaluator(
-            trainer.state.params, trainer.raster_cfg, cfg, trainer.val_cameras
+            trainer.state.params, trainer.state.alive, trainer.raster_cfg, cfg,
+            trainer.val_cameras,
         )
     return GaussianSplatEvaluator(trainer.state.model, trainer.raster_cfg, cfg)
 
 
+def evaluate_admm(config) -> None:
+    """Evaluate a block-parallel ADMM run: reconstruct the fused global model
+    from the distributed checkpoint on ONE device (the reference evaluator
+    merges per-block checkpoints, conerf/evaluators/evaluator.py:213-259)."""
+    from train_admm import load_val_split
+
+    from dogs_tpu.eval.evaluator import EvalConfig, GaussianSplatEvaluator
+    from dogs_tpu.parallel.master import (
+        load_fused_from_checkpoint,
+        load_manifest_partition,
+    )
+    from dogs_tpu.train.checkpoint import CheckpointManager
+    from utils import _raster_config
+
+    scene = config.dataset.scene
+    root = os.path.join(config.dataset.root_dir, scene)
+    mx = int(config.dataset.get("mx", 2))
+    my = int(config.dataset.get("my", 2))
+    _, partition = load_manifest_partition(root, mx, my)
+
+    out_root = os.path.join(config.get("root_dir", "out"), config.get("expname", "exp"))
+    manager = CheckpointManager(os.path.join(out_root, "model"))
+    ckpt = config.trainer.get("ckpt_path", "") or manager.latest_path()
+    if not ckpt:
+        logger.warning("no ADMM checkpoint found for %s", config.expname)
+        return
+    model = load_fused_from_checkpoint(ckpt, partition)
+    logger.info("fused model: %d gaussians from %s", int(model.num_alive), ckpt)
+
+    cc = config.get("eval", {}).get("color_correct", None)
+    evaluator = GaussianSplatEvaluator(
+        model,
+        _raster_config(config),
+        EvalConfig(
+            output_dir=os.path.join(out_root, "eval"),
+            apply_color_correction=None if cc is None else bool(cc),
+            active_sh_degree=int(config.texture.get("max_sh_degree", 3)),
+        ),
+    )
+    cams, imgs = load_val_split(config, scene)
+    result = evaluator.eval(cams, imgs, split="val")
+    evaluator.export(os.path.join(out_root, "export"))
+    logger.info("val mean: %s", result["mean"])
+
+
 def evaluate(config) -> None:
+    if bool(config.dataset.get("multi_blocks", False)):
+        return evaluate_admm(config)
     trainer, ckpt_manager, _ = create_trainer(config)
     step = trainer.load_checkpoint(ckpt_manager)
     if step == 0:
@@ -114,6 +166,8 @@ def main():
             f"{cfg.get('neural_field_type', 'gs')}_{cfg.get('task', 'nvs')}_"
             f"{cfg.dataset.name}_{scene}"
         )
+        if bool(cfg.dataset.get("multi_blocks", False)):
+            expname += "_admm"  # matches train_admm.py's experiment naming
         if args.suffix:
             expname += f"_{args.suffix}"
         cfg.expname = expname

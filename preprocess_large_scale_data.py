@@ -105,7 +105,11 @@ def preprocess_scene(config, scene: str) -> None:
         model_folder=config.dataset.get("model_folder", "sparse"),
     )
     cam_pos = np.stack([c.center for c in data.train_cameras])
-    part = partition_scene(cam_pos, data.points, mx, my, sf[:2])
+    part = partition_scene(
+        cam_pos, data.points, mx, my, sf[:2],
+        method=str(config.dataset.get("partition_method", "grid")),
+        seed=int(config.get("seed", 42)),
+    )
 
     # Save per-block manifests + the OBB transform / bbox tables
     # (load_colmap.py:402-450 side outputs).

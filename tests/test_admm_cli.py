@@ -170,3 +170,35 @@ def test_train_scene_cli(preprocessed):
     assert os.path.exists(os.path.join(out, "model", "model.npz"))
     assert os.path.exists(os.path.join(out, "export", "model.splat"))
     assert os.path.exists(os.path.join(out, "export", "point_cloud.ply"))
+
+
+def test_eval_admm_fused_checkpoint(preprocessed):
+    """eval.py's ADMM branch: fuse the distributed checkpoint on ONE device
+    (no mesh) and produce metrics.json (VERDICT r1 item 7). Depends on
+    test_train_scene_cli having written the checkpoint (module-ordered)."""
+    import json
+
+    from eval import evaluate_admm
+
+    tmp, config = preprocessed
+    out = os.path.join(str(tmp), "out", "test_admm_cli")
+    assert os.path.exists(os.path.join(out, "model", "model.npz"))
+
+    from dogs_tpu.parallel.master import (
+        load_fused_from_checkpoint,
+        load_manifest_partition,
+    )
+
+    root = os.path.join(str(tmp), "data", "toy_blocks")
+    _, partition = load_manifest_partition(root, 2, 2)
+    model = load_fused_from_checkpoint(
+        os.path.join(out, "model", "model.npz"), partition
+    )
+    assert int(model.num_alive) > 0
+
+    evaluate_admm(config)
+    metrics_path = os.path.join(out, "eval", "val", "metrics.json")
+    assert os.path.exists(metrics_path)
+    with open(metrics_path) as f:
+        metrics = json.load(f)
+    assert np.isfinite(metrics["mean"]["psnr"])

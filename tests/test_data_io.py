@@ -124,6 +124,64 @@ def test_splat_export(tmp_path):
     )
 
 
+def test_splat_golden_reference_format(tmp_path):
+    """Viewer-compat golden test (VERDICT r1 item 9): byte-compare save_splat
+    against an independent record-by-record emulation of the reference
+    exporter's format (gaussian_splat_model.py:668-709 — header-less 32-byte
+    records: pos f32x3 | exp(scale) f32x3 | RGBA u8x4 with
+    rgb=clip((0.5+C0*dc)*255) trunc and alpha=sigmoid(logit)*255 trunc |
+    unit-quat u8x4 as q*128+128). The webui's SplatLoader reads exactly this
+    stride/layout, so byte equality here documents that exported models load
+    in the reference viewer unchanged.
+
+    Note: record ORDER differs from the reference exporter, whose sort key
+    `-exp(sum log_scale)/(1+exp(logit))` divides by 1+exp(+logit) (an
+    antimatter15 transcription slip that sorts by volume x (1-opacity));
+    ours sorts by volume x opacity descending, the published convention.
+    The viewer depth-sorts every frame, so order only affects the first
+    painted frame; we compare the record SET byte-for-byte and our order
+    against the intended key.
+    """
+    sh_c0 = 0.28209479177387814
+    params = _toy_params(n=16)
+    path = str(tmp_path / "golden.splat")
+    save_splat(path, params)
+    raw = open(path, "rb").read()
+    assert len(raw) == 16 * 32
+
+    xyz = np.asarray(params.xyz, np.float32)
+    log_scale = np.asarray(params.log_scale, np.float32)
+    quat = np.asarray(params.quat, np.float32)
+    logit = np.asarray(params.logit_opacity, np.float32)
+    fdc = np.asarray(params.feat_dc, np.float32)
+
+    records = []
+    for i in range(16):
+        rec = bytearray()
+        rec += xyz[i].astype(np.float32).tobytes()
+        rec += np.exp(log_scale[i]).astype(np.float32).tobytes()
+        color = np.array(
+            [
+                0.5 + sh_c0 * fdc[i, 0, 0],
+                0.5 + sh_c0 * fdc[i, 0, 1],
+                0.5 + sh_c0 * fdc[i, 0, 2],
+                1.0 / (1.0 + np.exp(-logit[i, 0])),
+            ]
+        )
+        rec += (color * 255).clip(0, 255).astype(np.uint8).tobytes()
+        q = quat[i] / np.linalg.norm(quat[i])
+        rec += (q * 128 + 128).clip(0, 255).astype(np.uint8).tobytes()
+        records.append(bytes(rec))
+
+    got = {raw[i * 32 : (i + 1) * 32] for i in range(16)}
+    assert got == set(records)
+    # Our order: volume x opacity descending.
+    op = 1.0 / (1.0 + np.exp(-logit[:, 0]))
+    order = np.argsort(-(np.exp(log_scale).prod(-1) * op))
+    expected = b"".join(records[j] for j in order)
+    assert raw == expected
+
+
 def test_colmap_ply_export(tmp_path):
     params = _toy_params()
     path = str(tmp_path / "points.ply")

@@ -122,6 +122,74 @@ def main():
 
     chain(s_gather, jnp.float32(0), 20, "aligned entry gather+T")
 
+    # ---- kernel-only stages (pallas fwd / bwd, K->N reduce) ----------------
+    from dogs_tpu.raster import pallas_blend
+
+    n_ty, n_tx = -(-h // ts_grid), -(-w // ts_grid)
+    ent_ext = jnp.zeros((n + 4096, ENT_WIDTH), jnp.float32)
+    rngf = np.random.RandomState(2)
+    aligned_t0 = jnp.asarray(
+        rngf.rand(ENT_WIDTH, int(ai.shape[0])), jnp.float32
+    ) * 0.01
+
+    def s_fwdk(c):
+        at = aligned_t0 + c * 1e-20
+        out = pallas_blend.blend_forward_pallas(
+            at, ast, n_ty, n_tx, ts_grid, ch=cfg.pallas_chunk
+        )
+        return jnp.sum(out[0]) * 0.0 + c + 1.0
+
+    chain(s_fwdk, jnp.float32(0), 10, "pallas fwd kernel only")
+
+    cot0 = jnp.asarray(rngf.rand(n_tiles, 8, ts_grid * ts_grid), jnp.float32)
+
+    def s_bwdk(c):
+        at = aligned_t0 + c * 1e-20
+        de = pallas_blend.blend_backward_pallas(
+            at, ast, cot0, n_ty, n_tx, ts_grid, ch=cfg.pallas_chunk
+        )
+        return jnp.sum(de[0, :8]) * 0.0 + c + 1.0
+
+    chain(s_bwdk, jnp.float32(0), 10, "pallas bwd kernel only")
+
+    d_ent_t0 = jnp.asarray(
+        rngf.rand(ENT_WIDTH, int(ai.shape[0])), jnp.float32
+    )
+
+    def s_kn(c):
+        d = d_ent_t0 + c * 1e-20
+        k_al = d.shape[1]
+        ops = (ai,) + tuple(d[i] for i in range(10))
+        sorted_ops = jax.lax.sort(ops, num_keys=1)
+        sg = sorted_ops[0]
+        vals = jnp.stack(sorted_ops[1:], axis=-1)
+        step_ = 1
+        while step_ < 2 * cfg.max_tiles_per_gaussian:
+            same = sg[:-step_] == sg[step_:]
+            shifted = jnp.where(same[:, None], vals[step_:], 0.0)
+            vals = jnp.concatenate(
+                [vals[: k_al - step_] + shifted, vals[k_al - step_:]], axis=0
+            )
+            step_ *= 2
+        e2 = jnp.arange(k_al, dtype=jnp.int32)
+        bpos = jnp.full((n + 4097,), k_al, jnp.int32).at[sg].min(e2)[: n + 4096]
+        present = bpos < k_al
+        d_rows = jnp.where(present[:, None], vals[jnp.minimum(bpos, k_al - 1)], 0.0)
+        return jnp.sum(d_rows[0]) * 0.0 + c + 1.0
+
+    chain(s_kn, jnp.float32(0), 10, "K->N sort reduce only")
+
+    from dogs_tpu.raster.ssim import ssim as ssim_fn
+
+    img0 = jnp.asarray(rngf.rand(h, w, 3), jnp.float32)
+
+    def s_ssim(c):
+        im = img0 + c * 1e-20
+        g = jax.grad(lambda x: 1.0 - ssim_fn(x, gt))(im)
+        return jnp.sum(g[0, 0]) * 0.0 + c + 1.0
+
+    chain(s_ssim, jnp.float32(0), 20, "ssim fwd+bwd")
+
     def s_fwd(c):
         p = params.replace(xyz=params.xyz + c * 1e-20)
         out = render_tiled(p, cam, cfg, active_sh_degree=3)

@@ -117,6 +117,11 @@ def _trainer_config(config):
         opt_pose_start_iter=int(config.geometry.get("opt_pose_start_iter", 3000)),
         white_background=bool(config.dataset.get("apply_mask", False)),
         spatial_lr_scale=float(geo.get("spatial_lr_scale", -1.0)),
+        profile_start_step=int(
+            config.trainer.get("profile", {}).get("start_step", 0)
+        ),
+        profile_num_steps=int(config.trainer.get("profile", {}).get("num_steps", 0)),
+        profile_dir=str(config.trainer.get("profile", {}).get("dir", "profile")),
     )
 
 
@@ -170,14 +175,35 @@ def create_trainer(config):
         from dogs_tpu.fields.scaffold import ScaffoldConfig, ScaffoldGSTrainer
 
         anchor = config.get("anchor", {})
+        geo = config.geometry
+        lr = config.optimizer.lr
         scfg = ScaffoldConfig(
             max_iterations=int(config.trainer.max_iterations),
-            voxel_size=float(anchor.get("voxel_size", 0.05)),
-            k_offsets=int(anchor.get("n_offsets", 10)),
+            voxel_size=float(
+                anchor.get("voxel_size", geo.get("voxel_size", 0.05))
+            ),
+            k_offsets=int(anchor.get("n_offsets", geo.get("num_offsets", 10))),
             lambda_dssim=float(config.loss.get("lambda_dssim", 0.2)),
-            anchor_lr_init=float(config.optimizer.lr.get("position_init", 1.6e-4)),
-            anchor_lr_final=float(config.optimizer.lr.get("position_final", 1.6e-6)),
-            feat_lr=float(config.optimizer.lr.get("feature", 4e-3)),
+            lambda_scale=float(config.loss.get("lambda_scale", 0.01)),
+            anchor_lr_init=float(lr.get("position_init", 1.6e-4)),
+            anchor_lr_final=float(lr.get("position_final", 1.6e-6)),
+            feat_lr=float(lr.get("anchor_feat", lr.get("feature", 4e-3))),
+            offset_lr_init=float(lr.get("offset_init", 1e-2)),
+            offset_lr_final=float(lr.get("offset_final", 1e-4)),
+            scaling_lr=float(lr.get("scaling", 7e-3)),
+            mlp_lr_init=float(lr.get("mlp_opacity_init", 2e-3)),
+            mlp_lr_final=float(lr.get("mlp_opacity_final", 2e-5)),
+            app_lr=float(lr.get("app_embedding_init", 5e-2)),
+            update_depth=int(geo.get("update_depth", 3)),
+            update_init_factor=int(geo.get("update_init_factor", 16)),
+            update_hierarchy_factor=int(geo.get("update_hierarchy_factor", 4)),
+            stat_start_iter=int(geo.get("stat_start_iter", 500)),
+            densify_start_iter=int(geo.get("densify_start_iter", 1500)),
+            densify_end_iter=int(geo.get("densify_end_iter", 15000)),
+            densification_interval=int(geo.get("densification_interval", 100)),
+            densify_grad_threshold=float(geo.get("densify_grad_threshold", 2e-4)),
+            use_feat_bank=bool(geo.get("use_feat_bank", False)),
+            appearance_dim=int(config.texture.get("appearance_dim", 0)),
         )
         trainer = ScaffoldGSTrainer(
             cameras=data["train_cameras"],
