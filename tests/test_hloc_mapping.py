@@ -1,0 +1,146 @@
+"""Native cores of the hloc SfM pipeline: two-view geometry, match-graph
+filters, retrieval pair selection."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from scripts.preprocess.hloc_mapping.filter_matches import filter_scores
+from scripts.preprocess.hloc_mapping.geometry import (
+    decompose_essential_matrix,
+    rotation_to_quaternion,
+    triangulate_points,
+    write_g2o_view_graph,
+)
+from scripts.preprocess.hloc_mapping.pairs_from_retrieval import (
+    pairs_from_descriptors,
+    pairs_from_score_matrix,
+)
+
+
+def _rot(axis, angle):
+    axis = np.asarray(axis, float)
+    axis = axis / np.linalg.norm(axis)
+    k = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    return np.eye(3) + np.sin(angle) * k + (1 - np.cos(angle)) * k @ k
+
+
+def _two_view(seed=0, n=40):
+    rng = np.random.RandomState(seed)
+    k = np.array([[400.0, 0, 320], [0, 400, 240], [0, 0, 1]])
+    r = _rot([0.2, 1.0, 0.1], 0.3)
+    t = np.array([1.0, 0.1, 0.2])
+    t = t / np.linalg.norm(t)
+    pts = rng.rand(n, 3) * 2 - 1 + np.array([0, 0, 6.0])
+
+    def project(ext):
+        p = (k @ (ext[:3, :3] @ pts.T + ext[:, 3:4])).T
+        return p[:, :2] / p[:, 2:3]
+
+    ext1 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    ext2 = np.hstack([r, t[:, None]])
+    return k, r, t, pts, project(ext1), project(ext2)
+
+
+def test_triangulation_recovers_points():
+    k, r, t, pts, kp1, kp2 = _two_view()
+    ext1 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    ext2 = np.hstack([r, t[:, None]])
+    tri = triangulate_points(kp1, kp2, k @ ext1, k @ ext2)
+    np.testing.assert_allclose(tri, pts, atol=1e-6)
+
+
+def test_essential_decomposition_recovers_pose():
+    k, r, t, pts, kp1, kp2 = _two_view(seed=1)
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    essential = tx @ r
+    ext2, pts3d = decompose_essential_matrix(kp1, kp2, essential, k, k)
+    assert ext2 is not None
+    np.testing.assert_allclose(ext2[:3, :3], r, atol=1e-6)
+    # translation recovered up to scale (unit norm, sign fixed by cheirality)
+    np.testing.assert_allclose(ext2[:, 3], t, atol=1e-6)
+    assert pts3d.shape[0] == kp1.shape[0]  # all pass cheirality
+
+
+def test_quaternion_roundtrip():
+    r = _rot([1.0, -0.3, 0.5], 1.1)
+    q = rotation_to_quaternion(r)
+    qw, qx, qy, qz = q
+    rr = np.array(
+        [
+            [1 - 2 * (qy**2 + qz**2), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
+            [2 * (qx * qy + qw * qz), 1 - 2 * (qx**2 + qz**2), 2 * (qy * qz - qw * qx)],
+            [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx**2 + qy**2)],
+        ]
+    )
+    np.testing.assert_allclose(rr, r, atol=1e-9)
+
+
+def test_g2o_export(tmp_path):
+    r = _rot([0, 1, 0], 0.5)
+    poses = {(0, 1): np.hstack([r, np.array([[1.0], [0], [0]])])}
+    p = str(tmp_path / "vg.g2o")
+    write_g2o_view_graph(p, poses, num_images=3)
+    lines = open(p).read().splitlines()
+    assert sum(ln.startswith("VERTEX_SE3:QUAT") for ln in lines) == 3
+    edges = [ln for ln in lines if ln.startswith("EDGE_SE3:QUAT")]
+    assert len(edges) == 1
+    assert edges[0].split()[1:3] == ["0", "1"]
+
+
+def test_filter_threshold_and_knn():
+    rng = np.random.RandomState(2)
+    s = rng.rand(6, 6)
+    np.fill_diagonal(s, 0)
+    v_t = filter_scores(s, "threshold", threshold=0.5)
+    assert (s[v_t] >= 0.5).all() if v_t.any() else True
+    v_k = filter_scores(s, "knn", topk=2)
+    assert (v_k.sum(1) == 2).all()
+
+
+def test_filter_mst_spans_graph():
+    rng = np.random.RandomState(3)
+    n = 8
+    s = rng.rand(n, n) + 0.1
+    s = (s + s.T) / 2
+    np.fill_diagonal(s, 0)
+    v = filter_scores(s, "mst_min")
+    # a spanning tree over n nodes has n-1 undirected edges
+    assert v.sum() == 2 * (n - 1)
+    # connectivity: BFS from 0 reaches all
+    seen = {0}
+    frontier = [0]
+    while frontier:
+        i = frontier.pop()
+        for j in np.flatnonzero(v[i]):
+            if j not in seen:
+                seen.add(int(j))
+                frontier.append(int(j))
+    assert len(seen) == n
+
+
+def test_pairs_from_retrieval_topk():
+    rng = np.random.RandomState(4)
+    desc = rng.randn(10, 32)
+    pairs = pairs_from_descriptors(desc, num_matched=3)
+    assert len(pairs) == 30
+    assert all(i != j for i, j in pairs)
+    # top-1 of each query is its argmax cosine neighbor
+    d = desc / np.linalg.norm(desc, axis=1, keepdims=True)
+    sim = d @ d.T
+    np.fill_diagonal(sim, -np.inf)
+    for i in range(10):
+        assert (i, int(np.argmax(sim[i]))) in pairs
+
+
+def test_pairs_min_score_masks():
+    scores = np.array([[0.9, 0.2], [0.8, 0.95]])
+    invalid = np.zeros((2, 2), bool)
+    pairs = pairs_from_score_matrix(scores, invalid, 2, min_score=0.5)
+    assert (0, 1) not in pairs
+    assert (0, 0) in pairs and (1, 1) in pairs
