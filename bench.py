@@ -62,6 +62,11 @@ def bench_scene(n: int, seed: int = 0):
 
 def main():
     import jax
+
+    # Persistent compile cache (compiles dominate cold-start wall-clock
+    # through the remote-TPU tunnel).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from dogs_tpu.core.camera import make_camera
@@ -93,8 +98,11 @@ def main():
     # Build the state through the trainer's own constructor so the bench can
     # never drift from the TrainState field set (round-1 regression).
     ts = train_state_from_model(model, n_images=1, cfg=cfg)
+    # Two-tier candidate budget: 4 own slots per gaussian + a shared
+    # overflow pool (zero truncation measured on this workload at 1x N);
+    # shrinks the binning sort from 6M to 2.5M keys.
     raster_cfg = RasterConfig(
-        max_tiles_per_gaussian=12, bin_capacity=1_600_000, use_pallas=True
+        max_tiles_per_gaussian=12, bin_capacity=1_450_000, use_pallas=True,
     )
     step = make_train_step(
         cfg, raster_cfg, spatial_lr_scale=5.0, active_sh_degree=3,

@@ -73,6 +73,11 @@ class RasterConfig:
     bin_capacity: int | None = None  # sorted-entry budget; None = N * max_tiles
     use_pallas: bool = False  # Pallas blend kernels (TPU; interpreted on CPU)
     pallas_chunk: int = 128  # entries per DMA chunk (lane-aligned)
+    # Two-tier candidate budget (binning.py): every gaussian owns base_tiles
+    # key slots, bigger rects draw from a shared overflow pool. None = flat
+    # max_tiles_per_gaussian budget.
+    base_tiles: int | None = None
+    overflow_capacity: int | None = None  # pool slots; None = 2 * N
 
 
 def _pixel_coords(tiles: jnp.ndarray, n_tiles_x: int, ts: int):
@@ -427,6 +432,11 @@ def _blend_with_vjp_pallas(
         # ---- K_al -> N segmented reduction (sort is the TPU's scatter) ----
         # Only the 10 live gradient columns ride the sort; the padding
         # columns (incl. the stop-gradient depth) are zeros by construction.
+        # (Two rejected-by-measurement variants, tools/micro_kn.py: a 2-op
+        # sort + row-gather microbenches 21.8 vs 40.4 ms but LOSES ~15 ms in
+        # the composite step — transposing the bwd kernel's (W, K_al) output
+        # for the gather is real data movement the multi-operand sort
+        # streams for free; a direct scatter-add costs 192 ms.)
         n_live = 10
         ops = (aligned_idx,) + tuple(d_ent_t[i] for i in range(n_live))
         sorted_ops = jax.lax.sort(ops, num_keys=1)
@@ -561,6 +571,8 @@ def render_tiled(
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
         tile_culling=cfg.tile_culling,
         bin_capacity=cfg.bin_capacity,
+        base_tiles=cfg.base_tiles,
+        overflow_capacity=cfg.overflow_capacity,
     )
     visible = proj.radius > 0.0
     opacity = jnp.where(visible, proj.opacity, 0.0)

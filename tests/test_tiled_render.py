@@ -59,6 +59,61 @@ def membership_for(params, cam, cfg, aa=False, offset=None):
     return bins_membership(bins, params.capacity)
 
 
+@pytest.mark.parametrize("seed", [0, 3])
+def test_two_tier_binning_matches_flat(seed):
+    """The two-tier candidate budget (base_tiles + overflow pool) must
+    produce the SAME per-tile entry lists as the flat budget — only the key
+    storage layout differs."""
+    from dogs_tpu.raster.projection import project_gaussians as pg
+
+    params, cam = random_scene(seed=seed)
+    proj = pg(params, cam, active_sh_degree=2)
+    kw = dict(
+        tile_size=CFG.tile_size,
+        max_tiles_per_gaussian=CFG.max_tiles_per_gaussian,
+        tile_culling=True,
+    )
+    flat = build_tile_bins(proj, cam.height, cam.width, **kw)
+    # pool sized for zero truncation -> exact equivalence
+    two = build_tile_bins(
+        proj, cam.height, cam.width, base_tiles=2,
+        overflow_capacity=params.capacity * CFG.max_tiles_per_gaussian, **kw
+    )
+    assert int(flat.num_valid) == int(two.num_valid)
+    assert int(flat.num_truncated) == int(two.num_truncated)
+    np.testing.assert_array_equal(
+        np.asarray(flat.tile_starts), np.asarray(two.tile_starts)
+    )
+    nv = int(flat.num_valid)
+    # identical entries; ties in the quantized (tile, depth) key may permute,
+    # so compare (key-position-independent) sorted (tile, idx) pairs per run
+    f = np.stack(
+        [np.asarray(flat.sorted_tile[:nv]), np.asarray(flat.sorted_idx[:nv])], 1
+    )
+    t = np.stack(
+        [np.asarray(two.sorted_tile[:nv]), np.asarray(two.sorted_idx[:nv])], 1
+    )
+    np.testing.assert_array_equal(
+        f[np.lexsort(f.T[::-1])], t[np.lexsort(t.T[::-1])]
+    )
+
+
+def test_two_tier_pool_exhaustion_truncates():
+    params, cam = random_scene(seed=2)
+    from dogs_tpu.raster.projection import project_gaussians as pg
+
+    proj = pg(params, cam, active_sh_degree=2)
+    bins = build_tile_bins(
+        proj, cam.height, cam.width,
+        tile_size=CFG.tile_size,
+        max_tiles_per_gaussian=CFG.max_tiles_per_gaussian,
+        base_tiles=1, overflow_capacity=8,
+    )
+    # with an 8-slot pool almost every multi-tile gaussian truncates
+    assert int(bins.num_truncated) > 0
+    assert int(bins.num_valid) <= params.capacity * 1 + 8
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 @pytest.mark.parametrize("aa", [False, True])
 def test_tiled_matches_reference_forward(seed, aa):

@@ -34,6 +34,11 @@ def chain(step_fn, init, reps, label):
 
 def main():
     import jax
+
+    # Persistent compile cache: stage compiles dominate wall-clock through
+    # the remote-TPU tunnel; cached executables make reruns near-instant.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from bench import BASELINE_ITERS_PER_SEC, N_GAUSSIANS, WIDTH, HEIGHT, bench_scene

@@ -139,12 +139,16 @@ def _raster_config(config):
         kw["tile_batch"] = int(pipe.get("tile_batch"))
     if pipe.get("chunk") is not None:
         kw["chunk"] = int(pipe.get("chunk"))
+    bt = pipe.get("base_tiles", None)
+    oc = pipe.get("overflow_capacity", None)
     return RasterConfig(
         antialiasing=bool(config.texture.get("anti_aliasing", False)),
         depth_threshold=float(config.geometry.get("depth_threshold", 0.0)),
         max_tiles_per_gaussian=int(pipe.get("max_tiles_per_gaussian", 16)),
         bin_capacity=pipe.get("bin_capacity", None),
         use_pallas=bool(use_pallas),
+        base_tiles=None if bt is None else int(bt),
+        overflow_capacity=None if oc is None else int(oc),
         **kw,
     )
 
