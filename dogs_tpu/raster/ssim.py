@@ -32,22 +32,27 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 
 
 def _blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
-    """Separable depthwise Gaussian blur. x: (B, H, W, C), 'same' padding."""
-    c = x.shape[-1]
-    w = jnp.asarray(_gaussian_window(window_size, sigma))
-    kern_h = jnp.tile(w.reshape(window_size, 1, 1, 1), (1, 1, 1, c))
-    kern_w = jnp.tile(w.reshape(1, window_size, 1, 1), (1, 1, 1, c))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kern_h.shape, ("NHWC", "HWIO", "NHWC"))
+    """Separable depthwise Gaussian blur. x: (B, H, W, C), 'same' padding.
+
+    Implemented as shifted weighted adds rather than grouped convolutions:
+    depthwise (feature_group_count=C) convs lower poorly on TPU, while the
+    shift-and-add form fuses into a single elementwise pass per axis (and
+    its autodiff transpose is the same shape). Numerically identical to the
+    zero-padded 'same' conv."""
     pad = window_size // 2
-    x = jax.lax.conv_general_dilated(
-        x, kern_h, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
-    )
-    x = jax.lax.conv_general_dilated(
-        x, kern_w, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
-        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
-    )
-    return x
+    w = _gaussian_window(window_size, sigma)
+
+    def axis_blur(x, axis):
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (pad, pad)
+        xp = jnp.pad(x, widths)
+        n = x.shape[axis]
+        return sum(
+            float(w[k]) * jax.lax.slice_in_dim(xp, k, k + n, axis=axis)
+            for k in range(window_size)
+        )
+
+    return axis_blur(axis_blur(x, 1), 2)
 
 
 def ssim_map(
