@@ -103,6 +103,7 @@ def main():
     # shrinks the binning sort from 6M to 2.5M keys.
     raster_cfg = RasterConfig(
         max_tiles_per_gaussian=12, bin_capacity=1_450_000, use_pallas=True,
+        base_tiles=4, overflow_capacity=N_GAUSSIANS,
     )
     step = make_train_step(
         cfg, raster_cfg, spatial_lr_scale=5.0, active_sh_degree=3,
