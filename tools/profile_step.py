@@ -68,7 +68,8 @@ def main():
     rng = np.random.RandomState(1)
     gt = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
     cfg = RasterConfig(
-        max_tiles_per_gaussian=12, bin_capacity=1_600_000, use_pallas=True
+        max_tiles_per_gaussian=12, bin_capacity=1_450_000, use_pallas=True,
+        base_tiles=4, overflow_capacity=n,
     )
     ts_grid = cfg.tile_size
     n_tiles = (-(-h // ts_grid)) * (-(-w // ts_grid))
@@ -86,24 +87,22 @@ def main():
 
     proj = jax.jit(lambda p: project_gaussians(p, cam, active_sh_degree=3))(params)
 
+    bin_kw = dict(
+        tile_size=cfg.tile_size,
+        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        bin_capacity=cfg.bin_capacity,
+        base_tiles=cfg.base_tiles,
+        overflow_capacity=cfg.overflow_capacity,
+    )
+
     def s_bins(c):
         pr = proj.replace(depth=proj.depth + c * 1e-20)
-        b = build_tile_bins(
-            pr, h, w, tile_size=cfg.tile_size,
-            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
-            bin_capacity=cfg.bin_capacity,
-        )
+        b = build_tile_bins(pr, h, w, **bin_kw)
         return jnp.sum(b.sorted_idx) * 0.0 + c + 1.0
 
     chain(s_bins, jnp.float32(0), 20, "binning keys+sort+starts")
 
-    bins = jax.jit(
-        lambda pr: build_tile_bins(
-            pr, h, w, tile_size=cfg.tile_size,
-            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
-            bin_capacity=cfg.bin_capacity,
-        )
-    )(proj)
+    bins = jax.jit(lambda pr: build_tile_bins(pr, h, w, **bin_kw))(proj)
 
     k = bins.sorted_idx.shape[0]
     k_al = k + n_tiles * cfg.pallas_chunk
