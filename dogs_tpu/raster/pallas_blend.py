@@ -5,12 +5,13 @@ The performance core of the rasterizer — the TPU counterpart of the CUDA
 per-bucket backward (backward.cu:454-657). Design:
 
   * entries (one per (gaussian, tile) overlap, depth-sorted per tile) live in
-    HBM as a (K, 16) f32 matrix in a CHUNK-ALIGNED ragged layout: each tile's
-    run is padded to a multiple of CHUNK rows with zero (alpha=0) fillers.
-    Alignment makes every DMA a full contiguous chunk and — crucially — lets
-    the backward write per-entry gradient chunks with no read-modify-write
-    and no overlap between tiles (the XLA scatter this replaces was ~25x the
-    cost of the whole blend).
+    HBM as the COMPACT (16, K) sorted entry matrix — no aligned copy. Each
+    tile DMAs full chunks from the chunk boundary at/below its start and
+    masks rows outside [start, stop) to alpha=0; the backward read-modify-
+    writes its first gradient chunk to preserve the predecessor tiles'
+    already-written boundary rows (grid programs are sequential on the core,
+    so the RMW is race-free). This removed the whole aligned-layout build +
+    gather (~30 ms/step at 1.5M entries) that round 1 carried.
   * grid = one program per tile; per-tile entry counts are DYNAMIC (a
     while_loop over chunks with double-buffered HBM->VMEM DMA), with the
     CUDA kernel's T < 1e-4 saturation early-exit at tile granularity.
@@ -92,12 +93,16 @@ def _make_fwd_kernel(n_tiles_x: int, ts: int, ch: int):
         t = pl.program_id(0)
         start = starts_ref[t]
         stop = starts_ref[t + 1]
-        n_chunks = (stop - start) // ch  # aligned layout: exact
+        # COMPACT layout: per-tile runs are not chunk-aligned. DMA from the
+        # chunk boundary at/below `start`; rows outside [start, stop) are
+        # masked to alpha=0 (log1p(0)=0 keeps the transmittance exact).
+        off0 = (start // ch) * ch
+        n_chunks = jnp.where(stop > start, (stop - off0 + ch - 1) // ch, 0)
         px, py = _pixel_coords(t, n_tiles_x, ts, p)
         ltri = _lower_triangular(ch)
 
         def get_dma(slot, ci):
-            off = pl.multiple_of(start + ci * ch, ch)
+            off = pl.multiple_of(off0 + ci * ch, ch)
             return pltpu.make_async_copy(
                 ent_hbm.at[:, pl.ds(off, ch)],
                 ent_buf.at[slot],
@@ -123,6 +128,8 @@ def _make_fwd_kernel(n_tiles_x: int, ts: int, ch: int):
             get_dma(slot, ci).wait()
             rows = ent_buf[slot].T  # (16, CH) -> (CH, 16)
             alpha, _, _, _ = _chunk_alpha(rows, px, py)
+            rid = jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0) + off0 + ci * ch
+            alpha = jnp.where((rid >= start) & (rid < stop), alpha, 0.0)
             lg = jnp.log1p(-alpha)
             # Inclusive prefix over the chunk via one MXU matmul.
             cum = jnp.dot(ltri, lg, preferred_element_type=jnp.float32)
@@ -160,8 +167,8 @@ def _make_fwd_kernel(n_tiles_x: int, ts: int, ch: int):
 
 
 def blend_forward_pallas(
-    aligned_ent: jnp.ndarray,  # (16, K_cap) TRANSPOSED chunk-aligned entries
-    aligned_starts: jnp.ndarray,  # (T+1,) int32, multiples of ch
+    aligned_ent: jnp.ndarray,  # (16, K_pad) TRANSPOSED sorted entries
+    aligned_starts: jnp.ndarray,  # (T+1,) int32 compact tile ranges
     n_tiles_y: int,
     n_tiles_x: int,
     ts: int,
@@ -195,11 +202,20 @@ def blend_forward_pallas(
 def _make_bwd_kernel(n_tiles_x: int, ts: int, ch: int, depth_threshold: float):
     p = ts * ts
 
-    def kernel(starts_ref, ent_hbm, cot_ref, dent_hbm, ent_buf, dent_buf, sems, osems):
+    def kernel(
+        starts_ref, ent_hbm, cot_ref, dent_hbm,
+        ent_buf, dent_buf, prev_buf, sems, osems, psem,
+    ):
         t = pl.program_id(0)
         start = starts_ref[t]
         stop = starts_ref[t + 1]
-        n_chunks = (stop - start) // ch
+        # COMPACT layout (see fwd kernel). The first chunk may contain the
+        # PREDECESSOR tiles' trailing entries whose gradients were already
+        # written: read-modify-write it (grid programs run sequentially on
+        # the core and every put DMA is drained before the program ends, so
+        # the read sees the predecessor's completed writes).
+        off0 = (start // ch) * ch
+        n_chunks = jnp.where(stop > start, (stop - off0 + ch - 1) // ch, 0)
         px, py = _pixel_coords(t, n_tiles_x, ts, p)
         ltri = _lower_triangular(ch)
 
@@ -212,7 +228,7 @@ def _make_bwd_kernel(n_tiles_x: int, ts: int, ch: int, depth_threshold: float):
         g_tot = cot_ref[0, 5:6, :]
 
         def get_dma(slot, ci):
-            off = pl.multiple_of(start + ci * ch, ch)
+            off = pl.multiple_of(off0 + ci * ch, ch)
             return pltpu.make_async_copy(
                 ent_hbm.at[:, pl.ds(off, ch)],
                 ent_buf.at[slot],
@@ -220,16 +236,33 @@ def _make_bwd_kernel(n_tiles_x: int, ts: int, ch: int, depth_threshold: float):
             )
 
         def put_dma(slot, ci):
-            off = pl.multiple_of(start + ci * ch, ch)
+            off = pl.multiple_of(off0 + ci * ch, ch)
             return pltpu.make_async_copy(
                 dent_buf.at[slot],
                 dent_hbm.at[:, pl.ds(off, ch)],
                 osems.at[slot],
             )
 
+        def prev_dma():
+            return pltpu.make_async_copy(
+                dent_hbm.at[:, pl.ds(pl.multiple_of(off0, ch), ch)],
+                prev_buf,
+                psem,
+            )
+
+        # Predecessor gradients exist in our first chunk IFF start is not
+        # chunk-aligned (then the previous nonempty tile's run — or its
+        # zero_tail — wrote that chunk; chunk-aligned starts own the chunk
+        # outright and the memory below is untouched garbage).
+        rmw = (start % ch) != 0
+
         @pl.when(n_chunks > 0)
         def _():
             get_dma(0, 0).start()
+
+        @pl.when((n_chunks > 0) & rmw)
+        def _():
+            prev_dma().start()
 
         def cond(state):
             ci, log_t = state[0], state[1]
@@ -246,6 +279,8 @@ def _make_bwd_kernel(n_tiles_x: int, ts: int, ch: int, depth_threshold: float):
             get_dma(slot, ci).wait()
             rows = ent_buf[slot].T  # (CH, 16)
             alpha, dx, dy, power = _chunk_alpha(rows, px, py)
+            rid = jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0) + off0 + ci * ch
+            alpha = jnp.where((rid >= start) & (rid < stop), alpha, 0.0)
             lg = jnp.log1p(-alpha)
             cum = jnp.dot(ltri, lg, preferred_element_type=jnp.float32)
             log_t_incl = log_t + cum
@@ -303,6 +338,13 @@ def _make_bwd_kernel(n_tiles_x: int, ts: int, ch: int, depth_threshold: float):
                  zero, zero, zero, zero, zero, zero],
                 axis=1,
             ).T  # (16, CH) for the lane-aligned write-back
+            # First chunk: add the predecessors' already-written gradients
+            # (our own masked rows contributed zeros, theirs are preserved).
+            @pl.when((ci == 0) & rmw)
+            def _():
+                prev_dma().wait()
+
+            dent = jnp.where((ci == 0) & rmw, dent + prev_buf[...], dent)
             # Wait for the previous write using this slot before reuse.
             @pl.when(ci >= 2)
             def _():
@@ -354,8 +396,8 @@ def _make_bwd_kernel(n_tiles_x: int, ts: int, ch: int, depth_threshold: float):
 
 
 def blend_backward_pallas(
-    aligned_ent: jnp.ndarray,  # (16, K_cap) transposed
-    aligned_starts: jnp.ndarray,  # (T+1,)
+    aligned_ent: jnp.ndarray,  # (16, K_pad) transposed sorted entries
+    aligned_starts: jnp.ndarray,  # (T+1,) int32 compact tile ranges
     cot: jnp.ndarray,  # (T, 8, P): gC rgb, gA_eff, gD, Gtot, 0, 0
     n_tiles_y: int,
     n_tiles_x: int,
@@ -383,8 +425,10 @@ def blend_backward_pallas(
         scratch_shapes=[
             pltpu.VMEM((2, ENT_WIDTH, ch), jnp.float32),
             pltpu.VMEM((2, ENT_WIDTH, ch), jnp.float32),
+            pltpu.VMEM((ENT_WIDTH, ch), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(

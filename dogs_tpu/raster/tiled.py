@@ -355,8 +355,8 @@ def _blend_with_vjp(
 
 
 def _blend_with_vjp_pallas(
-    aligned_idx: jnp.ndarray,  # (K_al,) row of ent_ext per aligned slot
-    aligned_starts: jnp.ndarray,  # (T+1,)
+    aligned_idx: jnp.ndarray,  # (K_pad,) entry -> ent_ext row, sorted order
+    aligned_starts: jnp.ndarray,  # (T+1,) compact tile ranges
     ent_ext: jnp.ndarray,  # (N + trash, ENT_WIDTH)
     background: jnp.ndarray,
     n_tiles_y: int,
@@ -366,12 +366,13 @@ def _blend_with_vjp_pallas(
     """Pallas-kernel blend with the same output contract as the XLA path.
     Returns (image_tiles (T,P,3), A (T,P), D (T,P)), background composited.
 
-    The custom VJP owns the WHOLE aligned pipeline: the entry gather runs
-    inside the forward, and the backward reduces per-entry gradients to
-    N-space itself with a sort + bounded-run suffix-doubling segmented sum.
-    XLA's own scatter-add lowers at ~150M elem/s on v5e (~200ms for this
-    reduction); one lax.sort with the 16 gradient columns as payload plus
-    log2(max_tiles_per_gaussian) masked shift-adds does it in ~25ms.
+    The entries are the COMPACT sorted order (chunk alignment + boundary
+    masking happens inside the kernels); the backward reduces per-entry
+    gradients to N-space itself with a sort + bounded-run suffix-doubling
+    segmented sum. XLA's own scatter-add lowers at ~150M elem/s on v5e
+    (~200ms for this reduction); one lax.sort with the live gradient
+    columns as payload plus log2(max_tiles_per_gaussian) masked shift-adds
+    does it in ~25ms.
     """
     from dogs_tpu.raster import pallas_blend
 
@@ -379,10 +380,11 @@ def _blend_with_vjp_pallas(
     p = ts * ts
     k_al = aligned_idx.shape[0]
     n_ext = ent_ext.shape[0]
+    n_tiles = n_tiles_y * n_tiles_x
     interpret = jax.default_backend() == "cpu"
 
     def fwd_impl(ent_e, background_):
-        aligned_t = ent_e[aligned_idx].T  # (W, K_al)
+        aligned_t = ent_e[aligned_idx].T  # (W, K_pad)
         out = pallas_blend.blend_forward_pallas(
             aligned_t, aligned_starts, n_tiles_y, n_tiles_x, ts,
             ch=cfg.pallas_chunk, interpret=interpret,
@@ -427,7 +429,12 @@ def _blend_with_vjp_pallas(
             aligned_t, aligned_starts, cot, n_tiles_y, n_tiles_x,
             ts, ch=cfg.pallas_chunk, depth_threshold=cfg.depth_threshold,
             interpret=interpret,
-        )  # (W, K_al)
+        )  # (W, K_pad)
+        # Columns past the last tile's stop were never written (garbage in
+        # HBM) and the sentinel-key tail carries real gaussian ids: zero
+        # both before the reduction (fuses into the sort's operand reads).
+        valid_end = aligned_starts[n_tiles]
+        col_ok = jnp.arange(k_al, dtype=jnp.int32) < valid_end
 
         # ---- K_al -> N segmented reduction (sort is the TPU's scatter) ----
         # Only the 10 live gradient columns ride the sort; the padding
@@ -438,7 +445,9 @@ def _blend_with_vjp_pallas(
         # for the gather is real data movement the multi-operand sort
         # streams for free; a direct scatter-add costs 192 ms.)
         n_live = 10
-        ops = (aligned_idx,) + tuple(d_ent_t[i] for i in range(n_live))
+        ops = (aligned_idx,) + tuple(
+            jnp.where(col_ok, d_ent_t[i], 0.0) for i in range(n_live)
+        )
         sorted_ops = jax.lax.sort(ops, num_keys=1)
         sg = sorted_ops[0]
         vals = jnp.stack(sorted_ops[1:], axis=-1)  # (K_al, n_live)
@@ -473,54 +482,6 @@ def _blend_with_vjp_pallas(
 
 
 TRASH_ROWS = 4096  # zero rows fillers point at (spread to avoid collisions)
-
-
-def build_aligned_entries(
-    bins: TileBins,
-    n_gaussians: int,
-    n_tiles: int,
-    chunk: int,
-    k_aligned: int,
-):
-    """Chunk-aligned ragged entry layout for the Pallas kernels: each tile's
-    sorted run padded to a multiple of `chunk` with rows pointing at zero
-    "trash" entries. Returns (aligned_idx (K_al,), aligned_starts (T+1,)).
-
-    Built entirely from vector math + ONE scatter with a 2M source: the
-    naive construction gathers tile offsets per entry (2 x 2M-scalar gathers
-    ~ 28ms on v5e); here the per-entry pad offset is a cumsum over ~T scalar
-    deltas scattered at run starts (~1ms). (A fully gather-form variant —
-    per-chunk tile table + source-index math — microbenched faster in
-    isolation but cost ~57ms in the composite step; measured and REJECTED.)
-    """
-    k = bins.sorted_idx.shape[0]
-    n = n_gaussians
-    starts = bins.tile_starts
-    counts = starts[1:] - starts[:-1]
-    aligned_counts = ((counts + chunk - 1) // chunk) * chunk
-    aligned_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_counts).astype(jnp.int32)]
-    )
-
-    # new_pos[e] = e + pad_before_tile(tile_of_e), where the pad offset is
-    # constant within a tile run: scatter per-tile deltas at run starts and
-    # integrate. Empty tiles stack their deltas on one position (add = ok).
-    shift = aligned_starts[:-1] - starts[:-1]  # (T,)
-    delta = jnp.diff(shift, prepend=jnp.zeros((1,), shift.dtype))
-    marks = jnp.zeros((k,), jnp.int32).at[jnp.minimum(starts[:-1], k - 1)].add(delta)
-    pad_cum = jnp.cumsum(marks)
-    e = jnp.arange(k, dtype=jnp.int32)
-    in_range = bins.sorted_tile < n_tiles
-    new_pos = jnp.where(in_range, e + pad_cum, k_aligned)
-
-    # Fillers must point at MANY DIFFERENT zero rows: concentrating them on
-    # one dummy row makes any downstream indexed op collision-bound.
-    base = n + (jnp.arange(k_aligned + 1, dtype=jnp.int32) % TRASH_ROWS)
-    base_at_pos = n + (new_pos % TRASH_ROWS)
-    aligned_idx = (
-        base.at[new_pos].add(bins.sorted_idx - base_at_pos, mode="drop")[:k_aligned]
-    )
-    return aligned_idx, aligned_starts
 
 
 def render_tiled(
@@ -597,16 +558,23 @@ def render_tiled(
     )
 
     if cfg.use_pallas:
+        # COMPACT layout: the kernels consume the sorted entries directly
+        # (chunk boundaries are handled in-kernel), so the only prep is
+        # padding K to a chunk multiple with trash-pointing fillers.
         k = bins.sorted_idx.shape[0]
-        k_aligned = k + n_tiles * cfg.pallas_chunk  # worst-case padding
-        aligned_idx, aligned_starts = build_aligned_entries(
-            bins, params.capacity, n_tiles, cfg.pallas_chunk, k_aligned
-        )
+        ch = cfg.pallas_chunk
+        k_pad = -(-k // ch) * ch
+        idx = bins.sorted_idx
+        if k_pad > k:
+            filler = params.capacity + (
+                jnp.arange(k_pad - k, dtype=jnp.int32) % TRASH_ROWS
+            )
+            idx = jnp.concatenate([idx, filler])
         ent_ext = jnp.concatenate(
             [ent_n, jnp.zeros((TRASH_ROWS, ENT_WIDTH), ent_n.dtype)], axis=0
         )
         img_tiles, a_tiles, d_tiles = _blend_with_vjp_pallas(
-            aligned_idx, aligned_starts, ent_ext, background,
+            idx, bins.tile_starts, ent_ext, background,
             n_tiles_y, n_tiles_x, cfg,
         )
     else:

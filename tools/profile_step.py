@@ -48,8 +48,8 @@ def main():
     from dogs_tpu.raster.projection import project_gaussians
     from dogs_tpu.raster.tiled import (
         ENT_WIDTH,
+        TRASH_ROWS,
         RasterConfig,
-        build_aligned_entries,
         render_tiled,
     )
     from dogs_tpu.train.trainer import (
@@ -105,18 +105,11 @@ def main():
     bins = jax.jit(lambda pr: build_tile_bins(pr, h, w, **bin_kw))(proj)
 
     k = bins.sorted_idx.shape[0]
-    k_al = k + n_tiles * cfg.pallas_chunk
-
-    def s_aligned(c):
-        b = bins.replace(sorted_idx=bins.sorted_idx + (c * 0).astype(jnp.int32))
-        ai, st = build_aligned_entries(b, n, n_tiles, cfg.pallas_chunk, k_al)
-        return jnp.sum(ai[:8]).astype(jnp.float32) * 0.0 + c + 1.0
-
-    chain(s_aligned, jnp.float32(0), 20, "build_aligned_entries")
-
-    ai, ast = jax.jit(
-        lambda b: build_aligned_entries(b, n, n_tiles, cfg.pallas_chunk, k_al)
-    )(bins)
+    ch = cfg.pallas_chunk
+    k_al = -(-k // ch) * ch  # compact layout: just chunk-pad K
+    filler = n + (jnp.arange(k_al - k, dtype=jnp.int32) % TRASH_ROWS)
+    ai = jnp.concatenate([bins.sorted_idx, filler]) if k_al > k else bins.sorted_idx
+    ast = bins.tile_starts
     ent = jnp.zeros((n + 4096, ENT_WIDTH), jnp.float32)
 
     def s_gather(c):
@@ -124,7 +117,7 @@ def main():
         at = e[ai].T
         return jnp.sum(at[:, :8]) * 0.0 + c + 1.0
 
-    chain(s_gather, jnp.float32(0), 20, "aligned entry gather+T")
+    chain(s_gather, jnp.float32(0), 20, "entry gather+T (compact)")
 
     # ---- kernel-only stages (pallas fwd / bwd, K->N reduce) ----------------
     from dogs_tpu.raster import pallas_blend
