@@ -102,7 +102,7 @@ def main():
     # overflow pool (zero truncation measured on this workload at 1x N);
     # shrinks the binning sort from 6M to 2.5M keys.
     raster_cfg = RasterConfig(
-        max_tiles_per_gaussian=12, bin_capacity=1_450_000, use_pallas=True,
+        max_tiles_per_gaussian=12, bin_capacity=1_400_000, use_pallas=True,
         base_tiles=4, overflow_capacity=N_GAUSSIANS,
     )
     step = make_train_step(
