@@ -54,6 +54,61 @@ def test_pallas_grads_match_xla():
     np.testing.assert_allclose(b / scale, a / scale, atol=2e-3)
 
 
+def test_pallas_saturation_and_boundary_rmw():
+    """Adversarial case for the compact-layout kernels: fully opaque
+    overlapping gaussians drive tile saturation (the zero_tail path) while
+    tiny per-tile runs force many tiles to SHARE entry chunks, exercising
+    the backward's boundary read-modify-write. Gradients must still match
+    the XLA path exactly."""
+    import jax.numpy as jnp
+    from dogs_tpu.core.gaussians import GaussianParams, inverse_sigmoid
+    from dogs_tpu.core.sh import rgb_to_sh
+    from dogs_tpu.core.camera import look_at_camera
+
+    rng = np.random.RandomState(11)
+    n = 64
+    # dense stack of near-opaque gaussians in front of the camera
+    xyz = np.concatenate(
+        [
+            rng.uniform(-0.6, 0.6, (n, 2)),
+            rng.uniform(2.0, 2.5, (n, 1)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    params = GaussianParams(
+        xyz=jnp.asarray(xyz),
+        feat_dc=rgb_to_sh(jnp.asarray(rng.rand(n, 3), jnp.float32))[:, None, :],
+        feat_rest=jnp.zeros((n, 8, 3), jnp.float32),
+        # anisotropic: isotropic gaussians have ~zero quat gradients by
+        # symmetry, which makes the relative comparison ill-conditioned
+        log_scale=jnp.asarray(
+            np.log(np.array([[0.3, 0.12, 0.2]]) * rng.uniform(0.8, 1.2, (n, 3))),
+            jnp.float32,
+        ),
+        quat=jnp.asarray(rng.randn(n, 4), jnp.float32),
+        logit_opacity=inverse_sigmoid(jnp.full((n, 1), 0.97, jnp.float32)),
+    )
+    cam = look_at_camera([0, 0, 0], [0, 0, 1], [0, -1, 0], 60, 60, 64, 64)
+    bg = jnp.asarray([0.3, 0.2, 0.1])
+    target = jnp.asarray(rng.rand(64, 64, 3).astype(np.float32))
+
+    def loss(cfg, p):
+        out = render_tiled(p, cam, cfg, background=bg, active_sh_degree=1)
+        return jnp.sum((out.image - target) ** 2) + 0.2 * jnp.sum(out.alpha**2)
+
+    fx = jax.jit(lambda p: render_tiled(p, cam, XLA_CFG, background=bg, active_sh_degree=1).image)
+    fp = jax.jit(lambda p: render_tiled(p, cam, PALLAS_CFG, background=bg, active_sh_degree=1).image)
+    np.testing.assert_allclose(np.asarray(fp(params)), np.asarray(fx(params)), atol=3e-4)
+
+    g_x = jax.grad(lambda p: loss(XLA_CFG, p))(params)
+    g_p = jax.grad(lambda p: loss(PALLAS_CFG, p))(params)
+    for name in ["xyz", "feat_dc", "log_scale", "quat", "logit_opacity"]:
+        a = np.asarray(getattr(g_x, name))
+        b = np.asarray(getattr(g_p, name))
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-3, err_msg=name)
+
+
 def test_pallas_background_grad():
     params, cam = random_scene(n=16, seed=6)
 
