@@ -124,6 +124,9 @@ def main():
     dt = time.perf_counter() - t0
 
     its = ITERS / dt
+    # Budget telemetry: nonzero means the two-tier bin budgets silently cut
+    # splats and the headline number is not trustworthy.
+    truncation = int(metrics["bin_pool_truncated"]) + int(metrics["bin_dropped"])
     print(
         json.dumps(
             {
@@ -131,6 +134,7 @@ def main():
                 "value": round(its, 3),
                 "unit": "iters/sec",
                 "vs_baseline": round(its / BASELINE_ITERS_PER_SEC, 3),
+                "truncation": truncation,
             }
         )
     )

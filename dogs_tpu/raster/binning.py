@@ -36,6 +36,7 @@ class TileBins:
     tile_starts: jnp.ndarray  # (n_tiles + 1,) range offsets into sorted_idx
     num_valid: jnp.ndarray  # () total valid entries (diagnostics)
     num_truncated: jnp.ndarray  # () gaussians whose rect exceeded the budget
+    num_pool_truncated: jnp.ndarray  # () gaussians dropped by pool exhaustion
 
 
 def _tile_rect(
@@ -174,6 +175,7 @@ def build_tile_bins(
     ).reshape(-1)
     num_valid = jnp.sum(flat_valid.astype(jnp.int32))
     num_truncated = jnp.sum(truncated.astype(jnp.int32))
+    num_pool_truncated = jnp.int32(0)
 
     if two_tier:
         # ---- tier B: shared overflow pool ---------------------------------
@@ -231,8 +233,10 @@ def build_tile_bins(
         key = jnp.concatenate([key, keyp])
         payload = jnp.concatenate([payload, gc])
         num_valid = num_valid + jnp.sum(validp.astype(jnp.int32))
-        # pool exhaustion truncates the tail of late gaussians
-        num_truncated = num_truncated + jnp.sum(
+        # pool exhaustion truncates the tail of late gaussians — tracked
+        # separately from the rect-budget clamp so the trainer can react
+        # (grow the pool) vs merely report (mt is a perf/quality knob).
+        num_pool_truncated = jnp.sum(
             ((pstart + need) > pool) & (need > 0)
         ).astype(jnp.int32)
 
@@ -255,6 +259,7 @@ def build_tile_bins(
         tile_starts=tile_starts,
         num_valid=num_valid,
         num_truncated=num_truncated,
+        num_pool_truncated=num_pool_truncated,
     )
 
 

@@ -28,6 +28,13 @@ class RenderOutput:
     alpha: jnp.ndarray  # (H, W) accumulated opacity
     invdepth: jnp.ndarray  # (H, W) expected inverse depth
     radii: jnp.ndarray  # (C,) screen radii; 0 = culled (densify bookkeeping)
+    # Binning telemetry (tiled renderer only; None from the oracle). The
+    # static key budgets (base_tiles / overflow pool / bin_capacity) can
+    # silently drop splats — these scalars make that observable per step.
+    bin_valid: jnp.ndarray | None = None  # () valid (tile, depth) entries
+    bin_rect_truncated: jnp.ndarray | None = None  # () gaussians rect-clamped
+    bin_pool_truncated: jnp.ndarray | None = None  # () gaussians past the pool
+    bin_dropped: jnp.ndarray | None = None  # () valid entries cut by capacity
 
 
 def render_reference(

@@ -594,4 +594,15 @@ def render_tiled(
     image = untile(img_tiles)
     alpha = untile(a_tiles)[..., 0]
     invdepth = untile(d_tiles)[..., 0]
-    return RenderOutput(image=image, alpha=alpha, invdepth=invdepth, radii=radii_out)
+    # Telemetry: valid entries past the bin_capacity slice are silently cut
+    # (invalid sentinels sort last, so the cut hits valid entries only once
+    # num_valid exceeds the kept prefix).
+    kept = bins.sorted_idx.shape[0]
+    dropped = jnp.maximum(bins.num_valid - kept, 0)
+    return RenderOutput(
+        image=image, alpha=alpha, invdepth=invdepth, radii=radii_out,
+        bin_valid=bins.num_valid,
+        bin_rect_truncated=bins.num_truncated,
+        bin_pool_truncated=bins.num_pool_truncated,
+        bin_dropped=dropped,
+    )

@@ -105,6 +105,12 @@ class TrainerConfig:
     white_background: bool = False
     spatial_lr_scale: float = -1.0  # <0: compute nerf++ norm from cameras
     min_capacity: int = 4096
+    # Reaction to tile-bin saturation (overflow-pool exhaustion or entries
+    # cut by bin_capacity — see raster/binning.py telemetry). "grow": widen
+    # the saturated budget by bin_growth_factor and recompile; "error": fail
+    # loudly; "ignore": warn only. SURVEY rule: no silent caps.
+    on_bin_saturation: str = "grow"
+    bin_growth_factor: float = 1.5
     # device profiling (SURVEY §5.1): capture a jax.profiler trace for
     # profile_num_steps steps starting at profile_start_step; view with
     # tensorboard --logdir <profile_dir> or xprof. 0 = disabled.
@@ -319,6 +325,10 @@ def make_train_step(
         aux = dict(
             radii=out.radii, l1=l1, ssim=loss_ssim, psnr=psnr,
             scale_loss=loss_scaling,
+            bin_valid=out.bin_valid,
+            bin_rect_truncated=out.bin_rect_truncated,
+            bin_pool_truncated=out.bin_pool_truncated,
+            bin_dropped=out.bin_dropped,
         )
         return loss, aux
 
@@ -438,6 +448,10 @@ def make_train_step(
             scale_loss=aux["scale_loss"],
             n_visible=jnp.sum(visible.astype(jnp.int32)),
             n_alive=ts.model.num_alive,
+            bin_valid=aux["bin_valid"],
+            bin_rect_truncated=aux["bin_rect_truncated"],
+            bin_pool_truncated=aux["bin_pool_truncated"],
+            bin_dropped=aux["bin_dropped"],
         )
         return new_ts, metrics
 
@@ -628,6 +642,37 @@ class GaussianSplatTrainer:
         if int(overflow) > 0:
             logger.warning("densify overflow: %d candidates dropped", int(overflow))
 
+    def _react_to_bin_saturation(self, m: dict):
+        """No silent caps (SURVEY §7): when the overflow pool exhausts or
+        bin_capacity cuts valid entries, warn and (per config) grow the
+        saturated budget — a recompile, so only at the log cadence."""
+        pool_t = int(m.get("bin_pool_truncated", 0) or 0)
+        dropped = int(m.get("bin_dropped", 0) or 0)
+        if pool_t <= 0 and dropped <= 0:
+            return
+        msg = (
+            f"tile-bin saturation: pool_truncated={pool_t} "
+            f"dropped_entries={dropped} valid={int(m.get('bin_valid', 0))}"
+        )
+        if self.cfg.on_bin_saturation == "error":
+            raise RuntimeError(msg)
+        logger.warning(msg)
+        if self.cfg.on_bin_saturation != "grow":
+            return
+        rc = self.raster_cfg
+        changed = {}
+        if pool_t > 0:
+            cur = rc.overflow_capacity or 2 * self.state.model.capacity
+            changed["overflow_capacity"] = int(cur * self.cfg.bin_growth_factor)
+        if dropped > 0 and rc.bin_capacity is not None:
+            changed["bin_capacity"] = int(
+                rc.bin_capacity * self.cfg.bin_growth_factor
+            )
+        if changed:
+            self.raster_cfg = dataclasses.replace(rc, **changed)
+            self._step_cache.clear()
+            logger.warning("grew bin budgets: %s", changed)
+
     def _maybe_reset_opacity(self, step: int):
         cfg = self.cfg
         hit = step % cfg.opacity_reset_interval == 0
@@ -722,6 +767,7 @@ class GaussianSplatTrainer:
                 m["iters_per_sec"] = (step - start_step) / (time.time() - t0)
                 m["step"] = step
                 self.metrics_history.append(m)
+                self._react_to_bin_saturation(m)
                 logger.info(
                     "step %d loss %.4f psnr %.2f alive %d (%.1f it/s)",
                     step, m["loss"], m["psnr"], int(m["n_alive"]), m["iters_per_sec"],
