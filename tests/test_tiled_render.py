@@ -110,7 +110,7 @@ def test_two_tier_pool_exhaustion_truncates():
         base_tiles=1, overflow_capacity=8,
     )
     # with an 8-slot pool almost every multi-tile gaussian truncates
-    assert int(bins.num_truncated) > 0
+    assert int(bins.num_pool_truncated) > 0
     assert int(bins.num_valid) <= params.capacity * 1 + 8
 
 
