@@ -60,6 +60,123 @@ def bench_scene(n: int, seed: int = 0):
     return params
 
 
+def _bench_cameras(n_cams: int = 8):
+    """Cameras looking into the scene box from slightly different angles —
+    rotating through them defeats any single-view binning cache effect."""
+    from dogs_tpu.core.camera import make_camera
+
+    cams = []
+    for i in range(n_cams):
+        a = (i - n_cams / 2) * 0.02  # ~±4.5 deg yaw
+        b = ((i * 7) % n_cams - n_cams / 2) * 0.012
+        ca, sa = np.cos(a), np.sin(a)
+        cb, sb = np.cos(b), np.sin(b)
+        ry = np.array([[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]])
+        rx = np.array([[1, 0, 0], [0, cb, -sb], [0, sb, cb]])
+        cams.append(
+            make_camera(
+                R=ry @ rx, t=np.zeros(3), fx=1000.0, fy=1000.0,
+                cx=WIDTH / 2, cy=HEIGHT / 2, width=WIDTH, height=HEIGHT,
+                image_index=i,
+            )
+        )
+    return cams
+
+
+def bench_admm():
+    """Distributed-path throughput: MasterTrainer on a 1-chip mesh, 1 block,
+    ADMM phase — the flagship train_admm.py step loop (chained scan
+    dispatches + HBM-resident GT pool + consensus collective), measured on
+    the same 500k workload as the single-device bench (VERDICT r2 item 1b:
+    must hold >= 90% of the single-device it/s)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from dogs_tpu.data.blocks import BlockPartition
+    from dogs_tpu.fields.model import GaussianModelState
+    from dogs_tpu.parallel.admm import AdmmBlockState, AdmmConfig
+    from dogs_tpu.parallel.master import MasterTrainer
+    from dogs_tpu.raster.tiled import RasterConfig
+    from dogs_tpu.train.trainer import TrainerConfig, train_state_from_model
+
+    n = N_GAUSSIANS
+    params = bench_scene(n)
+    cams = _bench_cameras(8)
+    rng = np.random.RandomState(1)
+    gts = [rng.rand(HEIGHT, WIDTH, 3).astype(np.float32) for _ in cams]
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("block",))
+    big = 1e8
+    partition = BlockPartition(
+        num_blocks=1, transform=np.eye(4),
+        camera_labels=np.zeros(len(cams), np.int32),
+        bounds=np.array([[[-big, -big], [big, big]]]),
+        bounds_expanded=np.array([[[-big, -big], [big, big]]]),
+        point_masks=[],
+    )
+    cfg = TrainerConfig(max_iterations=30000)
+    raster_cfg = RasterConfig(
+        max_tiles_per_gaussian=12, bin_capacity=1_400_000, use_pallas=True,
+        base_tiles=4, overflow_capacity=n,
+    )
+    admm_cfg = AdmmConfig(consensus_interval=20, chain_steps=10)
+    # Cheap construction (tiny dummy cloud), then transplant the bench
+    # params at their exact 500k capacity — identical raster workload to
+    # the single-device bench.
+    master = MasterTrainer(
+        mesh, partition,
+        [np.asarray(params.xyz[:1024])], [np.full((1024, 3), 0.5, np.float32)],
+        [cams], [gts], cfg, raster_cfg, admm_cfg,
+        spatial_lr_scale=5.0,
+    )
+    capacity = params.capacity
+    model = GaussianModelState(
+        params=params,
+        alive=jnp.ones((capacity,), bool),
+        grad_accum=jnp.zeros((capacity,)),
+        denom=jnp.zeros((capacity,)),
+        max_radii2d=jnp.zeros((capacity,)),
+    )
+    ts = train_state_from_model(model, n_images=len(cams), cfg=cfg)
+    ex = lambda t: jax.tree.map(lambda a: a[None], t)
+    master.state = AdmmBlockState(
+        train=ex(ts),
+        u=ex(jax.tree.map(jnp.zeros_like, params)),
+        slot_map=jnp.arange(capacity, dtype=jnp.int32)[None],
+        z_local=ex(jax.tree.map(lambda a: a.copy(), params)),
+    )
+    master.n_global = capacity
+    master.admm_enabled = True
+    master.rho = admm_cfg.initial_rho(capacity)
+    master._build_steps()
+
+    m = master.train_iteration()  # warmup: compiles + 20 steps (syncs on fetch)
+    t0 = time.perf_counter()
+    n_iter = 3
+    for _ in range(n_iter):
+        m = master.train_iteration()
+    dt = time.perf_counter() - t0  # train_iteration floats metrics -> synced
+
+    steps = n_iter * admm_cfg.consensus_interval
+    its = steps / dt
+    truncation = int(m.get("bin_pool_truncated", 0) + m.get("bin_dropped", 0))
+    print(
+        json.dumps(
+            {
+                "metric": "admm_1block_500k_1152x864_chained_step",
+                "value": round(its, 3),
+                "unit": "iters/sec",
+                "vs_baseline": round(its / BASELINE_ITERS_PER_SEC, 3),
+                "truncation": truncation,
+            }
+        )
+    )
+
+
 def main():
     import jax
 
@@ -141,4 +258,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--admm" in sys.argv:
+        bench_admm()
+    else:
+        main()

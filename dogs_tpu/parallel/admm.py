@@ -51,6 +51,18 @@ class AdmmConfig:
 
     enable: bool = True
     consensus_interval: int = 200
+    # Steps chained per device dispatch (lax.scan over a staged camera+GT
+    # chunk). Amortizes the per-dispatch host round trip that a per-step
+    # loop pays (the reference's slaves run free on their own GPUs; one SPMD
+    # program pays dispatch once per chunk instead).
+    chain_steps: int = 10
+    # Keep every block's GT images resident in ITS shard's HBM (a
+    # (B, I, H, W, 3) array sharded over the block axis) when they fit and
+    # share one shape; the train step then gathers GT by camera.image_index
+    # on-device and the host stages only tiny camera pytrees. Falls back to
+    # streamed (k, B, H, W, 3) chunks otherwise.
+    gt_resident: bool = True
+    gt_resident_max_bytes: int = 4 << 30  # per-block HBM budget for the pool
     over_relaxation_coeff: float = 0.5
     alpha_xyz: float = 1e5
     alpha_fdc: float = 1e4
@@ -267,11 +279,26 @@ def make_distributed_train_step(
     active_sh_degree: int,
     background: tuple[float, float, float] = (0.0, 0.0, 0.0),
     admm_enabled: bool = True,
+    gt_from_pool: bool = False,
 ) -> Callable:
-    """One SPMD training step: every block trains on its own camera.
+    """One SPMD dispatch = a CHAIN of training steps: every block trains on
+    its own cameras, `lax.scan` consuming a staged chunk on-device.
 
-    Inputs have leading block dim B == mesh size; rho is replicated.
-    Returns (state, metrics) with metrics psum-averaged over blocks.
+    Camera leaves have leading dims (k, B): k chained steps x B blocks
+    (k comes from the input shapes — each distinct k compiles its own
+    bucket); rho is replicated. Chaining kills the per-step host round trip
+    the reference never pays (its slaves run free on their own GPUs).
+
+    GT comes in one of two forms:
+      * streaming (gt_from_pool=False): a (k, B, H, W, 3) staged chunk,
+        double-buffered host-side;
+      * resident  (gt_from_pool=True): gt is the (B, I, H, W, 3) per-block
+        image pool LIVING SHARDED IN HBM over the block axis; each scan step
+        gathers its row by camera.image_index. No per-step H2D at all —
+        the TPU-native answer to the reference slaves' CPU dataloaders.
+
+    Returns (state, metrics) with the LAST chained step's metrics
+    psum-averaged over blocks.
     """
     inner = make_train_step(
         cfg, raster_cfg, spatial_lr_scale, active_sh_degree, background,
@@ -279,26 +306,43 @@ def make_distributed_train_step(
     )
 
     def per_shard(state: AdmmBlockState, camera: Camera, gt: jnp.ndarray, rho):
-        # shard_map hands us leading dim 1; drop it.
+        # shard_map hands us block dim 1; drop it, keep the chain dim k.
         sq = lambda t: jax.tree.map(lambda a: a[0], t)
         st: AdmmBlockState = sq(state)
-        cam = sq(camera)
-        gt0 = gt[0]
-        if admm_enabled:
-            new_train, metrics = inner(st.train, cam, gt0, st.u, st.z_local, rho)
+        cam_k = jax.tree.map(lambda a: a[:, 0], camera)  # (k, ...)
+
+        def run_step(train, cam, gt1):
+            if admm_enabled:
+                return inner(train, cam, gt1, st.u, st.z_local, rho)
+            return inner(train, cam, gt1)
+
+        if gt_from_pool:
+            pool = gt[0]  # (I, H, W, 3) this block's resident images
+
+            def body(train, cam):
+                return run_step(train, cam, pool[cam.image_index])
+
+            new_train, ms = jax.lax.scan(body, st.train, cam_k)
         else:
-            new_train, metrics = inner(st.train, cam, gt0)
+            gt_k = gt[:, 0]
+
+            def body(train, inp):
+                cam, gt1 = inp
+                return run_step(train, cam, gt1)
+
+            new_train, ms = jax.lax.scan(body, st.train, (cam_k, gt_k))
         metrics = {
-            k: jax.lax.pmean(v, BLOCK_AXIS) for k, v in metrics.items()
+            k: jax.lax.pmean(v[-1], BLOCK_AXIS) for k, v in ms.items()
         }
         new_state = st.replace(train=new_train)
         ex = lambda t: jax.tree.map(lambda a: a[None], t)
         return ex(new_state), metrics
 
+    gt_spec = P(BLOCK_AXIS) if gt_from_pool else P(None, BLOCK_AXIS)
     fn = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS), P()),
+        in_specs=(P(BLOCK_AXIS), P(None, BLOCK_AXIS), gt_spec, P()),
         out_specs=(P(BLOCK_AXIS), P()),
         check_vma=False,
     )

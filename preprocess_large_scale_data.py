@@ -98,11 +98,19 @@ def preprocess_scene(config, scene: str) -> None:
     mx = int(config.dataset.get("mx", 2))
     my = int(config.dataset.get("my", 2))
     sf = config.dataset.get("bbox_scale_factor", [1.4, 1.4, 1.4])
+    # Same dataset options as the val loader (train_admm.load_val_split) —
+    # the block poses and the val poses MUST share one normalization.
     data = load_scene(
         root,
         factor=int(config.dataset.get("factor", 1)),
         val_interval=int(config.dataset.get("val_interval", 8)),
         model_folder=config.dataset.get("model_folder", "sparse"),
+        normalize=bool(config.dataset.get("scale", True)),
+        use_manhattan_world=bool(
+            config.dataset.get("use_manhattan_world", False)
+        ),
+        scene_name=scene,
+        dataset_name=str(config.dataset.get("name", "")),
     )
     cam_pos = np.stack([c.center for c in data.train_cameras])
     part = partition_scene(

@@ -79,10 +79,12 @@ def test_distributed_train_step_runs(mesh, setup):
     )
     cams = jax.tree.map(lambda *xs: jnp.stack(xs), *[c for c in scene.cameras])
     gts = jnp.stack([jnp.asarray(im) for im in scene.images])
+    # chained layout: leading (k, B) dims — one dispatch scans k=2 steps
+    cams2 = jax.tree.map(lambda a: jnp.stack([a, a]), cams)
+    gts2 = jnp.stack([gts, gts])
 
     before = np.asarray(state.train.model.params.xyz).copy()
-    for _ in range(2):
-        state, metrics = step(state, cams, gts, rho)
+    state, metrics = step(state, cams2, gts2, rho)
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["psnr"]) > 5.0
     after = np.asarray(state.train.model.params.xyz)
@@ -123,13 +125,16 @@ def test_admm_penalty_pulls_blocks_together(mesh, setup):
     cams = jax.tree.map(lambda *xs: jnp.stack(xs), *[c for c in scene.cameras])
     gts = jnp.stack([jnp.asarray(im) for im in scene.images])
 
+    cams1 = jax.tree.map(lambda a: a[None], cams)  # (k=1, B, ...)
+    gts1 = gts[None]
+
     def run(rho_scale, n=6):
         rho = jax.tree.map(
             lambda r: jnp.float32(rho_scale), admm_cfg.initial_rho(g)
         )
         st = jax.tree.map(lambda a: a.copy(), state)
         for _ in range(n):
-            st, _ = step(st, cams, gts, rho)
+            st, _ = step(st, cams1, gts1, rho)
         _, _, _, primal, _ = consensus(st, rho)
         return float(primal.xyz)
 

@@ -56,6 +56,7 @@ def admm_config(config):
     return AdmmConfig(
         enable=bool(a.get("enable", True)),
         consensus_interval=int(a.get("consensus_interval", 200)),
+        chain_steps=int(a.get("chain_steps", 10)),
         over_relaxation_coeff=float(a.get("over_relaxation_coeff", 0.5)),
         alpha_xyz=float(a.get("alpha_xyz", 1e5)),
         alpha_fdc=float(a.get("alpha_fdc", 1e4)),
@@ -91,6 +92,7 @@ def load_val_split(config, scene: str):
             config.dataset.get("use_manhattan_world", False)
         ),
         scene_name=scene,
+        dataset_name=str(config.dataset.get("name", "")),
     )
     cams = [r.to_camera() for r in data.val_cameras]
     imgs = [r.load() for r in data.val_cameras]

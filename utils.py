@@ -49,6 +49,7 @@ def _build_dataset(config):
             config.dataset.get("use_manhattan_world", False)
         ),
         scene_name=str(config.dataset.scene),
+        dataset_name=str(config.dataset.get("name", "")),
     )
     from dogs_tpu.data.reader import LazyImageList
 
@@ -107,8 +108,11 @@ def _trainer_config(config):
         use_trained_exposure=bool(
             config.appearance.get("use_trained_exposure", False)
         ),
+        # The reference keys the VastGaussian appearance mask on
+        # geometry.mask (urban3d_admm.yaml:94); accept either spelling.
         use_appearance_mask=bool(
             config.appearance.get("use_appearance_mask", False)
+            or geo.get("mask", False)
         ),
         lambda_mask=float(config.loss.get("lambda_mask", 0.0)),
         mask_lr=float(lr.get("mask", 1e-3)),
