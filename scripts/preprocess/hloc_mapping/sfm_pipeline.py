@@ -68,10 +68,44 @@ def parse_args():
     return parser.parse_args()
 
 
+def _retrieval_pairs(retrieval_path, pairs_path, num_matched: int) -> None:
+    """Native retrieval pairing: read the global-descriptor h5 and run the
+    numpy top-k core (pairs_from_retrieval.py in this package) — no torch."""
+    import h5py
+
+    from scripts.preprocess.hloc_mapping.pairs_from_retrieval import (
+        pairs_from_descriptors,
+        write_pairs,
+    )
+
+    names, descs = [], []
+    with h5py.File(str(retrieval_path), "r") as fd:
+
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset) and name.endswith(
+                "global_descriptor"
+            ):
+                names.append(name[: -len("/global_descriptor")])
+                descs.append(obj.__array__())
+
+        fd.visititems(visit)
+    order = np.argsort(names)
+    names = [names[i] for i in order]
+    desc = np.stack([descs[i] for i in order])
+    pairs = pairs_from_descriptors(desc, num_matched=num_matched)
+    write_pairs(str(pairs_path), pairs, names)
+
+
 def run(args) -> Path:
     _require_hloc()
-    from hloc import (extract_features, match_features, pairs_from_retrieval,
-                      reconstruction, triangulation)
+    # Preset wrappers bundled with this package (the learned extract/match
+    # stages delegate to the installed hloc; retrieval pairing and graph
+    # filtering run on the native numpy cores).
+    from scripts.preprocess.hloc_mapping import (
+        extract_features,
+        match_features,
+        reconstruction,
+    )
 
     images = args.dataset_dir / "images"
     outputs = args.outputs
@@ -83,11 +117,9 @@ def run(args) -> Path:
     feature_conf = extract_features.confs["superpoint_aachen"]
     matcher_conf = match_features.confs["superglue"]
 
-    # 1. global descriptors -> retrieval pairs
+    # 1. global descriptors -> retrieval pairs (native top-k core)
     retrieval_path = extract_features.main(retrieval_conf, images, outputs)
-    pairs_from_retrieval.main(
-        retrieval_path, sfm_pairs, num_matched=args.num_matches
-    )
+    _retrieval_pairs(retrieval_path, sfm_pairs, args.num_matches)
     # 2. local features + matches
     feature_path = extract_features.main(feature_conf, images, outputs)
     match_path = match_features.main(
@@ -107,7 +139,8 @@ def run(args) -> Path:
     # 4. reconstruction
     if args.recon:
         model = reconstruction.main(
-            sfm_dir, images, sfm_pairs, feature_path, match_path
+            sfm_dir, images, sfm_pairs, feature_path, match_path,
+            min_track_length=args.min_track_length,
         )
         logger.info("reconstruction: %s", model.summary())
     return sfm_dir
