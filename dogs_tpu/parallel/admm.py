@@ -356,28 +356,39 @@ def make_consensus_step(
 ) -> Callable:
     """One compiled consensus round (master:665-728 steps 3-6, minus the
     host-side rho adaptation): z-average via psum over ICI, dual update,
-    residuals. Returns (state, z, counts, primal, dual)."""
+    residuals.
 
-    def per_shard(state: AdmmBlockState, rho):
+    Signature: (params, alive, slot_map, u, z_local_old, rho) ->
+    (new_u, new_z_local, z, counts, primal, dual). Deliberately NARROW I/O:
+    an earlier version threaded the whole AdmmBlockState through, and the
+    consensus executable returned the untouched train leaves with layouts
+    different from the train step's — which made the NEXT train dispatch a
+    full recompile (~2.5 min through the remote-TPU tunnel) every run. Only
+    what consensus actually updates flows through it; the train pytree
+    objects stay bitwise the train step's own outputs."""
+
+    def per_shard(params, alive, slot_map, u, z_local_old, rho):
         sq = lambda t: jax.tree.map(lambda a: a[0], t)
-        st: AdmmBlockState = sq(state)
-        alive = st.train.model.alive
-        x = st.train.model.params
-        z, counts = consensus_zsum(x, alive, st.slot_map, n_global)
-        z_local_new = gather_z_local(z, st.slot_map)
+        x: GaussianParams = sq(params)
+        al = alive[0]
+        sm = slot_map[0]
+        z, counts = consensus_zsum(x, al, sm, n_global)
+        z_local_new = gather_z_local(z, sm)
         new_u = dual_update(
-            st.u, x, z_local_new, alive, admm_cfg.over_relaxation_coeff
+            sq(u), x, z_local_new, al, admm_cfg.over_relaxation_coeff
         )
-        primal, dual = block_residuals(x, z_local_new, st.z_local, alive, rho)
-        new_state = st.replace(u=new_u, z_local=z_local_new)
+        primal, dual = block_residuals(x, z_local_new, sq(z_local_old), al, rho)
         ex = lambda t: jax.tree.map(lambda a: a[None], t)
-        return ex(new_state), z, counts, primal, dual
+        return ex(new_u), ex(z_local_new), z, counts, primal, dual
 
     fn = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(BLOCK_AXIS), P()),
-        out_specs=(P(BLOCK_AXIS), P(), P(), P(), P()),
+        in_specs=(
+            P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS),
+            P(BLOCK_AXIS), P(BLOCK_AXIS), P(),
+        ),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(), P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(fn, donate_argnums=(0,))
+    return jax.jit(fn, donate_argnums=(3, 4))

@@ -255,9 +255,20 @@ class MasterTrainer:
         self.n_global = int(offsets[-1])
         self.rho = admm_cfg.initial_rho(self.n_global)
         self._gt_pool = self._try_build_gt_pool()
+        self._commit_state()
         self._build_steps()
         self._cam_order = [[] for _ in range(b)]
         self._staged = None  # prefetched (key, (camera, gt)) chunk
+
+    def _commit_state(self):
+        """Commit the host-assembled state to the mesh's block sharding BEFORE
+        the first dispatch. Without this the first train step compiles for
+        uncommitted inputs and the second for the donated/sharded layout —
+        two full ~2-minute compiles through the remote-TPU tunnel that the
+        ADMM bench caught as a 25x slowdown."""
+        from dogs_tpu.parallel.admm import block_sharding
+
+        self.state = jax.device_put(self.state, block_sharding(self.mesh))
 
     def _try_build_gt_pool(self):
         """Device-resident GT: stack every block's images into a
@@ -464,9 +475,12 @@ class MasterTrainer:
         if not self.admm_enabled and self.step >= self.cfg.densify_end_iter:
             self.fuse_and_enable_admm()
         elif self.admm_enabled:
-            self.state, z, counts, primal, dual = self.consensus_step(
-                self.state, self.rho
+            new_u, new_z, z, counts, primal, dual = self.consensus_step(
+                self.state.train.model.params, self.state.train.model.alive,
+                self.state.slot_map, self.state.u, self.state.z_local,
+                self.rho,
             )
+            self.state = self.state.replace(u=new_u, z_local=new_z)
             if self.step < self.admm_cfg.stop_adapt_iter:
                 self.rho = adapt_rho(self.rho, primal, dual, self.admm_cfg)
             metrics = dict(metrics)
@@ -559,6 +573,7 @@ class MasterTrainer:
         self.state = AdmmBlockState(
             train=train, u=u, slot_map=slot_map, z_local=z_local
         )
+        self._commit_state()
         self._build_steps()  # shapes changed -> fresh compile bucket
 
     def _densify_blocks(self):
@@ -640,6 +655,7 @@ class MasterTrainer:
         )
         self.rho = self.admm_cfg.initial_rho(self.n_global)
         self.admm_enabled = True
+        self._commit_state()
         self._build_steps()
         logger.info("ADMM enabled at step %d with %d global gaussians",
                     self.step, self.n_global)

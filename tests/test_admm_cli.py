@@ -48,6 +48,9 @@ def _smoke_config(tmp_path, **over):
     return config
 
 
+pytestmark = pytest.mark.heavy  # multi-minute: full lane only (scripts/test_full.sh)
+
+
 @pytest.fixture(scope="module")
 def preprocessed(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("admm_cli")

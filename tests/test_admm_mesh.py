@@ -18,8 +18,19 @@ from dogs_tpu.parallel.admm import (
 from dogs_tpu.raster.tiled import RasterConfig
 from dogs_tpu.train.trainer import TrainerConfig
 
+
+pytestmark = pytest.mark.heavy  # multi-minute: full lane only (scripts/test_full.sh)
+
 RASTER = RasterConfig(tile_batch=8, chunk=16)
 N_DEV = 8
+
+
+def _consensus(fn, state, rho):
+    """Call the narrow-I/O consensus step on a full AdmmBlockState."""
+    return fn(
+        state.train.model.params, state.train.model.alive,
+        state.slot_map, state.u, state.z_local, rho,
+    )
 
 
 @pytest.fixture(scope="module")
@@ -50,7 +61,7 @@ def test_consensus_average_and_counts(mesh, setup):
     admm_cfg = AdmmConfig()
     consensus = make_consensus_step(mesh, g, admm_cfg)
     rho = admm_cfg.initial_rho(g)
-    new_state, z, counts, primal, dual = consensus(state, rho)
+    new_u, new_z, z, counts, primal, dual = _consensus(consensus, state, rho)
 
     # Counts = how many blocks contain each global point.
     expected_counts = np.zeros(g)
@@ -65,7 +76,7 @@ def test_consensus_average_and_counts(mesh, setup):
     )
     # At init x == z, so primal residual ~ 0 and duals stay ~ 0.
     assert float(primal.xyz) < 1e-8
-    assert np.abs(np.asarray(new_state.u.xyz)).max() < 1e-6
+    assert np.abs(np.asarray(new_u.xyz)).max() < 1e-6
 
 
 def test_distributed_train_step_runs(mesh, setup):
@@ -93,9 +104,9 @@ def test_distributed_train_step_runs(mesh, setup):
 
     # Consensus after divergence: primal residual > 0, duals move on shared.
     consensus = make_consensus_step(mesh, g, admm_cfg)
-    state2, z, counts, primal, dual = consensus(state, rho)
+    new_u, new_z, z, counts, primal, dual = _consensus(consensus, state, rho)
     assert float(primal.xyz) > 0
-    assert np.abs(np.asarray(state2.u.xyz)).max() > 0
+    assert np.abs(np.asarray(new_u.xyz)).max() > 0
 
 
 def test_adapt_rho_directions():
@@ -135,7 +146,7 @@ def test_admm_penalty_pulls_blocks_together(mesh, setup):
         st = jax.tree.map(lambda a: a.copy(), state)
         for _ in range(n):
             st, _ = step(st, cams1, gts1, rho)
-        _, _, _, primal, _ = consensus(st, rho)
+        _, _, _, _, primal, _ = _consensus(consensus, st, rho)
         return float(primal.xyz)
 
     spread_free = run(0.0)

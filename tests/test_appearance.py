@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dogs_tpu.fields.appearance import (
     apply_appearance,
@@ -37,6 +38,7 @@ def test_mask_differs_per_image_embedding():
     assert np.abs(np.asarray(m0 - m1)).max() > 0
 
 
+@pytest.mark.heavy
 def test_trainer_with_appearance_mask_learns():
     scene = make_scene(n_gaussians=48, n_cams=6, width=64, height=64, seed=31,
                        raster_cfg=RASTER)
@@ -63,6 +65,7 @@ def test_trainer_with_appearance_mask_learns():
     assert np.abs(e0).max() > 0
 
 
+@pytest.mark.heavy
 def test_pose_optimization_improves_with_perturbed_cameras():
     """Perturb training camera poses; pose refinement should recover some
     of the loss vs frozen poses."""

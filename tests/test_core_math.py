@@ -124,6 +124,7 @@ def test_knn_exact_small():
     np.testing.assert_allclose(out[4], d2.mean(), rtol=1e-5)
 
 
+@pytest.mark.heavy
 def test_knn_morton_close_to_exact():
     rng = np.random.RandomState(6)
     pts = rng.rand(5000, 3).astype(np.float32)

@@ -13,6 +13,9 @@ from dogs_tpu.parallel.master import MasterTrainer, fuse_local_gaussians
 from dogs_tpu.raster.tiled import RasterConfig
 from dogs_tpu.train.trainer import TrainerConfig
 
+
+pytestmark = pytest.mark.heavy  # multi-minute: full lane only (scripts/test_full.sh)
+
 RASTER = RasterConfig(tile_batch=8, chunk=16)
 N_DEV = 4
 

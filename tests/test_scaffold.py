@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dogs_tpu.data.synthetic import make_scene
 from dogs_tpu.fields.scaffold import (
@@ -140,6 +141,7 @@ def test_anchor_growing_and_pruning():
         assert np.abs(np.asarray(grown_state.params.offsets)[new_mask]).max() == 0.0
 
 
+@pytest.mark.heavy
 def test_scaffold_training_improves_and_grows():
     scene = make_scene(n_gaussians=64, n_cams=8, width=64, height=64, seed=41,
                        raster_cfg=RASTER)
@@ -175,6 +177,7 @@ def test_scaffold_training_improves_and_grows():
     assert np.isfinite(np.asarray(out.image)).all()
 
 
+@pytest.mark.heavy
 def test_scaffold_checkpoint_roundtrip(tmp_path):
     from dogs_tpu.train.checkpoint import CheckpointManager
 

@@ -37,6 +37,7 @@ def make_trainer(scene):
     )
 
 
+@pytest.mark.heavy
 def test_checkpoint_roundtrip_resume(scene, tmp_path):
     trainer = make_trainer(scene)
     trainer.train(num_iterations=10, log_every=0)
@@ -60,6 +61,7 @@ def test_checkpoint_roundtrip_resume(scene, tmp_path):
     assert int(trainer2.state.step) == 15
 
 
+@pytest.mark.heavy
 def test_checkpoint_resume_shrinks_capacity(scene, tmp_path):
     """Resuming into a trainer whose live capacity exceeds the stored one
     must shrink the template instead of mis-shaping the load (round-1 VERDICT
@@ -229,6 +231,7 @@ def test_lazy_image_list_streams_epoch(tmp_path):
     imgs.close()
 
 
+@pytest.mark.heavy
 def test_bin_saturation_telemetry_and_growth(scene):
     """Overflow-pool exhaustion is observable in the step metrics, warns,
     and (on_bin_saturation="grow") widens the budget until the run recovers
@@ -280,6 +283,7 @@ def test_bin_saturation_error_mode(scene):
         tr.train(num_iterations=2, log_every=1)
 
 
+@pytest.mark.heavy
 def test_bin_capacity_drop_telemetry(scene):
     """bin_capacity slicing off valid entries is reported as bin_dropped and
     grows under on_bin_saturation="grow"."""

@@ -12,6 +12,9 @@ from dogs_tpu.data.synthetic import make_scene
 from dogs_tpu.raster.tiled import RasterConfig
 from dogs_tpu.train.trainer import GaussianSplatTrainer, TrainerConfig
 
+
+pytestmark = pytest.mark.heavy  # multi-minute: full lane only (scripts/test_full.sh)
+
 RASTER = RasterConfig(tile_batch=16, chunk=32)
 
 
