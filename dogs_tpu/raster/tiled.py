@@ -78,6 +78,11 @@ class RasterConfig:
     # max_tiles_per_gaussian budget.
     base_tiles: int | None = None
     overflow_capacity: int | None = None  # pool slots; None = 2 * N
+    # K->N gradient reduction sort payload dtype: "bf16" packs grad pairs
+    # into int32 (halves the dominant sort's payload bytes; per-entry grads
+    # quantize to 8-bit mantissa BEFORE the <=max_tiles-run summation —
+    # far below SGD noise); "f32" keeps exact payloads.
+    reduce_dtype: str = "bf16"
 
 
 def _pixel_coords(tiles: jnp.ndarray, n_tiles_x: int, ts: int):
@@ -445,12 +450,47 @@ def _blend_with_vjp_pallas(
         # for the gather is real data movement the multi-operand sort
         # streams for free; a direct scatter-add costs 192 ms.)
         n_live = 10
-        ops = (aligned_idx,) + tuple(
-            jnp.where(col_ok, d_ent_t[i], 0.0) for i in range(n_live)
-        )
-        sorted_ops = jax.lax.sort(ops, num_keys=1)
-        sg = sorted_ops[0]
-        vals = jnp.stack(sorted_ops[1:], axis=-1)  # (K_al, n_live)
+        grads = [jnp.where(col_ok, d_ent_t[i], 0.0) for i in range(n_live)]
+        if cfg.reduce_dtype == "bf16":
+            # Pack grad pairs as 2x bf16 in one int32 payload: 1 key + 5
+            # payload operands instead of 1 + 10 (the sort streams ~45%
+            # fewer bytes; measured the single biggest non-kernel stage).
+            def pack(a, b):
+                ai = jax.lax.bitcast_convert_type(
+                    a.astype(jnp.bfloat16), jnp.uint16
+                ).astype(jnp.uint32)
+                bi = jax.lax.bitcast_convert_type(
+                    b.astype(jnp.bfloat16), jnp.uint16
+                ).astype(jnp.uint32)
+                return jax.lax.bitcast_convert_type(
+                    (ai << 16) | bi, jnp.int32
+                )
+
+            ops = (aligned_idx,) + tuple(
+                pack(grads[2 * i], grads[2 * i + 1]) for i in range(5)
+            )
+            sorted_ops = jax.lax.sort(ops, num_keys=1)
+            sg = sorted_ops[0]
+
+            def unpack(v):
+                u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+                hi = jax.lax.bitcast_convert_type(
+                    (u >> 16).astype(jnp.uint16), jnp.bfloat16
+                ).astype(jnp.float32)
+                lo = jax.lax.bitcast_convert_type(
+                    (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+                ).astype(jnp.float32)
+                return hi, lo
+
+            cols = []
+            for v in sorted_ops[1:]:
+                hi, lo = unpack(v)
+                cols += [hi, lo]
+            vals = jnp.stack(cols, axis=-1)  # (K_al, n_live)
+        else:
+            sorted_ops = jax.lax.sort(tuple([aligned_idx] + grads), num_keys=1)
+            sg = sorted_ops[0]
+            vals = jnp.stack(sorted_ops[1:], axis=-1)  # (K_al, n_live)
         # Runs per gaussian are <= max_tiles_per_gaussian (<= 32): masked
         # suffix-doubling turns each run's FIRST row into the run total.
         # (Filler "trash" runs can be longer; they are never read.)

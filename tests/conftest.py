@@ -17,11 +17,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# DOGS_TPU_TESTS=1 opts into the real-hardware lane (tests/tpu/): keep the
+# TPU backend and production numerics. Everything else runs on the virtual
+# CPU mesh.
+_TPU_LANE = os.environ.get("DOGS_TPU_TESTS") == "1"
+if not _TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
+    # Test assertions do exact-ish f32 comparisons; don't let test-side
+    # matmuls silently run at bf16 precision.
+    jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_enable_x64", False)
-# Test assertions do exact-ish f32 comparisons; don't let test-side matmuls
-# silently run at bf16 precision.
-jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def pytest_report_header(config):

@@ -11,7 +11,9 @@ from dogs_tpu.raster.tiled import RasterConfig, render_tiled
 from tests.test_tiled_render import random_scene
 
 XLA_CFG = RasterConfig(tile_size=16, max_tiles_per_gaussian=36, tile_batch=8, chunk=16)
-PALLAS_CFG = dataclasses.replace(XLA_CFG, use_pallas=True)
+# Kernel-parity tests pin reduce_dtype="f32" so they isolate the Pallas
+# kernels; the bf16-packed reduction has its own quantization-bound test.
+PALLAS_CFG = dataclasses.replace(XLA_CFG, use_pallas=True, reduce_dtype="f32")
 
 
 @pytest.mark.parametrize("seed", [0, 3])
@@ -52,6 +54,30 @@ def test_pallas_grads_match_xla():
     a, b = np.asarray(g_x[1]), np.asarray(g_p[1])
     scale = np.abs(a).max() + 1e-6
     np.testing.assert_allclose(b / scale, a / scale, atol=2e-3)
+
+
+def test_bf16_packed_reduce_close_to_f32():
+    """The bf16-packed K->N reduction quantizes per-entry gradients to
+    bf16 BEFORE the per-gaussian run summation. Assert the end-to-end
+    parameter gradients stay within bf16 rounding (~0.4% relative) of the
+    exact f32 reduction — far below SGD noise."""
+    params, cam = random_scene(n=40, seed=5)
+    bg = jnp.asarray([0.1, 0.1, 0.1])
+    rng = np.random.RandomState(0)
+    target = jnp.asarray(rng.rand(cam.height, cam.width, 3).astype(np.float32))
+    bf16_cfg = dataclasses.replace(PALLAS_CFG, reduce_dtype="bf16")
+
+    def loss(cfg, p):
+        out = render_tiled(p, cam, cfg, background=bg, active_sh_degree=2)
+        return jnp.sum((out.image - target) ** 2) + 0.3 * jnp.sum(out.alpha**2)
+
+    g_f32 = jax.grad(lambda p: loss(PALLAS_CFG, p))(params)
+    g_bf16 = jax.grad(lambda p: loss(bf16_cfg, p))(params)
+    for name in ["xyz", "feat_dc", "log_scale", "quat", "logit_opacity"]:
+        a = np.asarray(getattr(g_f32, name))
+        b = np.asarray(getattr(g_bf16, name))
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=8e-3, err_msg=name)
 
 
 def test_pallas_saturation_and_boundary_rmw():

@@ -1,0 +1,104 @@
+"""Compiled-kernel parity + budget safety on the real chip.
+
+Covers what the CPU suite structurally cannot: the non-interpret Pallas
+blend kernels (fwd + bwd) against the pure-XLA blend path, both compiled for
+TPU, on a 100k-gaussian scene; and zero bin-budget truncation under the
+production train step (VERDICT r2 item 7).
+"""
+
+import dataclasses
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from bench import WIDTH, HEIGHT, _bench_cameras, bench_scene  # noqa: E402
+from dogs_tpu.raster.tiled import RasterConfig, render_tiled  # noqa: E402
+
+N = 100_000
+
+XLA_CFG = RasterConfig(
+    max_tiles_per_gaussian=12, bin_capacity=int(2.8 * N),
+    base_tiles=4, overflow_capacity=N,
+)
+PALLAS_CFG = dataclasses.replace(XLA_CFG, use_pallas=True, reduce_dtype="f32")
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return bench_scene(N, seed=7), _bench_cameras(2)[1]
+
+
+def test_forward_parity_100k(scene):
+    params, cam = scene
+    bg = jnp.asarray([0.2, 0.1, 0.3])
+    a = jax.jit(lambda p: render_tiled(p, cam, XLA_CFG, background=bg))(params)
+    b = jax.jit(lambda p: render_tiled(p, cam, PALLAS_CFG, background=bg))(params)
+    # Both paths blend in identical depth order; differences are f32
+    # accumulation order only.
+    np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(b.alpha), np.asarray(a.alpha), atol=3e-3)
+    np.testing.assert_allclose(
+        np.asarray(b.invdepth), np.asarray(a.invdepth), atol=3e-3
+    )
+
+
+def test_backward_parity_100k(scene):
+    params, cam = scene
+    bg = jnp.asarray([0.0, 0.0, 0.0])
+    rng = np.random.RandomState(0)
+    target = jnp.asarray(rng.rand(HEIGHT, WIDTH, 3).astype(np.float32))
+
+    def loss(cfg, p):
+        out = render_tiled(p, cam, cfg, background=bg)
+        return jnp.mean(jnp.abs(out.image - target)) + 0.1 * jnp.mean(out.alpha)
+
+    g_x = jax.jit(jax.grad(lambda p: loss(XLA_CFG, p)))(params)
+    g_p = jax.jit(jax.grad(lambda p: loss(PALLAS_CFG, p)))(params)
+    for name in ["xyz", "feat_dc", "feat_rest", "log_scale", "quat",
+                 "logit_opacity"]:
+        a = np.asarray(getattr(g_x, name))
+        b = np.asarray(getattr(g_p, name))
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / scale, a / scale, atol=4e-3, err_msg=name)
+
+
+def test_train_step_truncation_zero_100k(scene):
+    from dogs_tpu.fields.model import GaussianModelState
+    from dogs_tpu.train.trainer import (
+        TrainerConfig,
+        make_train_step,
+        train_state_from_model,
+    )
+
+    params, _ = scene
+    cams = _bench_cameras(4)
+    rng = np.random.RandomState(1)
+    gts = [jnp.asarray(rng.rand(HEIGHT, WIDTH, 3), jnp.float32) for _ in cams]
+    capacity = params.capacity
+    model = GaussianModelState(
+        params=params,
+        alive=jnp.ones((capacity,), bool),
+        grad_accum=jnp.zeros((capacity,)),
+        denom=jnp.zeros((capacity,)),
+        max_radii2d=jnp.zeros((capacity,)),
+    )
+    cfg = TrainerConfig(max_iterations=30000)
+    ts = train_state_from_model(model, n_images=len(cams), cfg=cfg)
+    # Production bf16-packed reduce: the parity tests above pin f32; this
+    # one runs the step exactly as bench.py does.
+    raster_cfg = dataclasses.replace(XLA_CFG, use_pallas=True)
+    step = make_train_step(
+        cfg, raster_cfg, spatial_lr_scale=5.0, active_sh_degree=3,
+        background=(0.0, 0.0, 0.0),
+    )
+    for i in range(4):
+        ts, metrics = step(ts, cams[i % 4], gts[i % 4])
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(metrics["bin_pool_truncated"]) == 0
+    assert int(metrics["bin_dropped"]) == 0
