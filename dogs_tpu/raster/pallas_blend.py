@@ -278,7 +278,7 @@ def _make_bwd_kernel(n_tiles_x: int, ts: int, ch: int, depth_threshold: float):
 
             get_dma(slot, ci).wait()
             rows = ent_buf[slot].T  # (CH, 16)
-            alpha, dx, dy, power = _chunk_alpha(rows, px, py)
+            alpha, dx, dy, _ = _chunk_alpha(rows, px, py)
             rid = jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0) + off0 + ci * ch
             alpha = jnp.where((rid >= start) & (rid < stop), alpha, 0.0)
             lg = jnp.log1p(-alpha)
@@ -307,14 +307,18 @@ def _make_bwd_kernel(n_tiles_x: int, ts: int, ch: int, depth_threshold: float):
             )
             not_clamped = (alpha < 0.99) & (alpha > 0.0)
             d_alpha = jnp.where(not_clamped, d_alpha, 0.0)
-            expp = jnp.exp(jnp.minimum(power, 0.0))
             d_power = d_alpha * alpha
 
             ca = rows[:, _CA : _CA + 1]
             cb = rows[:, _CB : _CB + 1]
             cc = rows[:, _CC : _CC + 1]
+            opa = rows[:, _OPA : _OPA + 1]
             red = lambda x: jnp.sum(x, axis=1, keepdims=True)  # (CH, 1)
-            d_opa = red(d_alpha * expp)
+            # On d_power's support alpha == opa * exp(power) exactly (the
+            # 0.99 clamp is excluded by not_clamped), so
+            # red(d_alpha * exp(power)) == red(d_power) / opa — drops the
+            # per-pixel exp() recompute. Guard the masked-row opa=0 case.
+            d_opa = red(d_power) / jnp.maximum(opa, 1e-12)
             d_ca = red(d_power * (-0.5 * dx * dx))
             d_cb = red(d_power * (-dx * dy))
             d_cc = red(d_power * (-0.5 * dy * dy))
@@ -353,9 +357,9 @@ def _make_bwd_kernel(n_tiles_x: int, ts: int, ch: int, depth_threshold: float):
             dent_buf[slot] = dent
             put_dma(slot, ci).start()
 
-            prefix_g = prefix_g + jnp.dot(
-                ltri, g_term, preferred_element_type=jnp.float32
-            )[ch - 1 : ch, :]
+            # prefix_incl already holds prefix_g + ltri @ g_term; reuse its
+            # last row instead of a second (CH, CH) @ (CH, P) matmul.
+            prefix_g = prefix_incl[ch - 1 : ch, :]
             log_t = log_t + cum[ch - 1 : ch, :]
             return ci + 1, log_t, prefix_g
 

@@ -1,0 +1,128 @@
+"""webui server: model discovery, serving, range requests, auth.
+
+Counterpart coverage for the reference's Express server routes
+(webui/server.cjs + routes/auth.cjs) — ours is stdlib Python; the JS viewer
+assets are validated structurally (test_data_io.py holds the .splat
+byte-format contract the viewer parses).
+"""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+from webui.server import discover_models, make_server
+
+
+@pytest.fixture()
+def splat_tree(tmp_path):
+    from dogs_tpu.core.gaussians import GaussianParams, inverse_sigmoid
+    from dogs_tpu.fields.io import save_splat
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    n = 17
+    params = GaussianParams(
+        xyz=jnp.asarray(rng.randn(n, 3), jnp.float32),
+        feat_dc=jnp.asarray(rng.randn(n, 1, 3), jnp.float32),
+        feat_rest=jnp.zeros((n, 15, 3), jnp.float32),
+        log_scale=jnp.asarray(rng.randn(n, 3) * 0.1 - 3, jnp.float32),
+        quat=jnp.asarray(rng.randn(n, 4), jnp.float32),
+        logit_opacity=inverse_sigmoid(
+            jnp.asarray(rng.uniform(0.2, 0.9, (n, 1)), jnp.float32)
+        ),
+    )
+    d = tmp_path / "exp1" / "export"
+    d.mkdir(parents=True)
+    save_splat(str(d / "model.splat"), params)
+    return tmp_path, n
+
+
+@pytest.fixture()
+def server(splat_tree):
+    root, n = splat_tree
+    srv = make_server(str(root), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, n
+    srv.shutdown()
+
+
+def _get(url, headers=None):
+    req = urllib.request.Request(url, headers=headers or {})
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+def test_discover_models(splat_tree):
+    root, _ = splat_tree
+    models = discover_models(root)
+    assert list(models) == ["exp1__export__model"]
+
+
+def test_model_list_and_bytes(server):
+    base, n = server
+    _, body, _ = _get(f"{base}/api/models")
+    lst = json.loads(body)
+    assert lst == [
+        {"id": "exp1__export__model", "bytes": n * 32, "splats": n}
+    ]
+    _, raw, _ = _get(f"{base}/api/models/exp1__export__model")
+    assert len(raw) == n * 32
+    # Records parse as the viewer expects: f32 positions are finite.
+    pos = np.frombuffer(raw, np.uint8).reshape(n, 32)[:, :12]
+    assert np.isfinite(pos.copy().view(np.float32)).all()
+
+
+def test_range_request_progressive_prefix(server):
+    base, n = server
+    st, part, hdrs = _get(
+        f"{base}/api/models/exp1__export__model",
+        headers={"Range": "bytes=0-63"},
+    )
+    assert st == 206
+    assert len(part) == 64  # first two records
+    assert hdrs["Content-Range"] == f"bytes 0-63/{n * 32}"
+
+
+def test_static_viewer_assets(server):
+    base, _ = server
+    st, html, _ = _get(f"{base}/")
+    assert st == 200 and b"SplatViewer" in html
+    st, js, _ = _get(f"{base}/static/viewer.js")
+    assert st == 200 and b"drawArraysInstanced" in js
+    st, wk, _ = _get(f"{base}/static/sorter.worker.js")
+    assert st == 200 and b"postMessage" in wk
+
+
+def test_unknown_routes(server):
+    base, _ = server
+    for path in ("/api/models/nope", "/static/../server.py", "/zzz"):
+        with pytest.raises(urllib.error.HTTPError):
+            _get(f"{base}{path}")
+
+
+def test_token_auth(splat_tree):
+    root, _ = splat_tree
+    srv = make_server(str(root), port=0, token="s3cret")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"{base}/api/models")
+        assert ei.value.code == 401
+        st, _, _ = _get(f"{base}/api/models",
+                        headers={"Authorization": "Bearer s3cret"})
+        assert st == 200
+        st, _, _ = _get(f"{base}/api/models?token=s3cret")
+        assert st == 200
+        # Static assets stay public (the page must load to prompt).
+        st, _, _ = _get(f"{base}/")
+        assert st == 200
+    finally:
+        srv.shutdown()
