@@ -183,9 +183,20 @@ def bench_admm():
     )
 
 
-def _measure(n: int, warmup: int, iters: int, bin_capacity: int | None = None):
+def _measure(
+    n: int,
+    warmup: int,
+    iters: int,
+    bin_capacity: int | None = None,
+    base_tiles: int = 4,
+    overflow_capacity: int | None = None,
+):
     """Rotating-camera full-train-step throughput at n gaussians.
-    Returns (iters_per_sec, truncation)."""
+    Returns (iters_per_sec, truncation). base_tiles/overflow_capacity are
+    exposed for budget-tuning experiments; the defaults are the measured
+    optimum (base_tiles=3 with a pool large enough for truncation=0 is
+    ~2% SLOWER — the apparent bt=3 win only appears with an exhausted
+    pool silently dropping ~90k entries)."""
     import jax
     import jax.numpy as jnp
 
@@ -225,7 +236,8 @@ def _measure(n: int, warmup: int, iters: int, bin_capacity: int | None = None):
         max_tiles_per_gaussian=12,
         bin_capacity=bin_capacity or int(2.8 * n),
         use_pallas=True,
-        base_tiles=4, overflow_capacity=n,
+        base_tiles=base_tiles,
+        overflow_capacity=overflow_capacity or n,
     )
     step = make_train_step(
         cfg, raster_cfg, spatial_lr_scale=5.0, active_sh_degree=3,

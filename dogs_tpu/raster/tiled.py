@@ -444,11 +444,17 @@ def _blend_with_vjp_pallas(
         # ---- K_al -> N segmented reduction (sort is the TPU's scatter) ----
         # Only the 10 live gradient columns ride the sort; the padding
         # columns (incl. the stop-gradient depth) are zeros by construction.
-        # (Two rejected-by-measurement variants, tools/micro_kn.py: a 2-op
-        # sort + row-gather microbenches 21.8 vs 40.4 ms but LOSES ~15 ms in
-        # the composite step — transposing the bwd kernel's (W, K_al) output
-        # for the gather is real data movement the multi-operand sort
-        # streams for free; a direct scatter-add costs 192 ms.)
+        # (Three rejected-by-measurement variants: a 2-op sort + row-gather
+        # microbenches 21.8 vs 40.4 ms but LOSES ~15 ms in the composite
+        # step — transposing the bwd kernel's (W, K_al) output for the
+        # gather is real data movement the multi-operand sort streams for
+        # free (tools/micro_kn.py); a direct scatter-add costs 192 ms; and
+        # a slot-space reduce — forward sort carries the candidate-slot id,
+        # backward sorts grads by slot over kept+dropped candidates so the
+        # result is a dense slot grid reduced by reshape-sum — microbenches
+        # 12.8 vs 29.9 ms (tools/micro_slotreduce.py; partly sort-output
+        # DCE flattering it) but is a composite WASH at best: the real sort
+        # grows from K_al to ALL candidates (2.56M rows), -0.17 it/s.)
         n_live = 10
         grads = [jnp.where(col_ok, d_ent_t[i], 0.0) for i in range(n_live)]
         if cfg.reduce_dtype == "bf16":

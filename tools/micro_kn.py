@@ -98,6 +98,76 @@ def main():
 
     timeit(var_c16, d, label="C16: scatter-add all 16 cols")
 
+    # ---- sub-stage breakdown of the CURRENT (bf16-packed) variant ---------
+    def pack(a, b):
+        au = jax.lax.bitcast_convert_type(
+            a.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        bu = jax.lax.bitcast_convert_type(
+            b.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        return jax.lax.bitcast_convert_type((au << 16) | bu, jnp.int32)
+
+    def unpack(v):
+        u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(
+            (u >> 16).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32)
+        lo = jax.lax.bitcast_convert_type(
+            (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32)
+        return hi, lo
+
+    def sort_only(d):
+        ops = (ai,) + tuple(pack(d[2 * i], d[2 * i + 1]) for i in range(5))
+        s = jax.lax.sort(ops, num_keys=1)
+        return s[0]
+
+    timeit(sort_only, d, label="cur/sort only (1 key + 5 packed)")
+
+    sorted_full = jax.jit(
+        lambda d: jax.lax.sort(
+            (ai,) + tuple(pack(d[2 * i], d[2 * i + 1]) for i in range(5)),
+            num_keys=1,
+        )
+    )(d)
+    sg0 = sorted_full[0]
+    vals0 = jnp.stack(
+        [c for v in sorted_full[1:] for c in unpack(v)], axis=-1
+    )
+
+    def double_only(vals):
+        return suffix_double(sg0, vals)
+
+    timeit(double_only, vals0, label="cur/suffix-double only (5 passes)")
+
+    def bpos_only(vals):
+        e = jnp.arange(k_al, dtype=jnp.int32)
+        bpos = jnp.full((n + 4097,), k_al, jnp.int32).at[sg0].min(e)[: n + 4096]
+        return bpos + vals.shape[0] * 0
+
+    timeit(bpos_only, vals0, label="cur/bpos scatter-min only")
+
+    def final_gather_only(vals):
+        e = jnp.arange(k_al, dtype=jnp.int32)
+        bpos = jnp.full((n + 4097,), k_al, jnp.int32).at[sg0].min(e)[: n + 4096]
+        present = bpos < k_al
+        return jnp.where(
+            present[:, None], vals[jnp.minimum(bpos, k_al - 1)], 0.0
+        )
+
+    timeit(final_gather_only, vals0, label="cur/bpos + final gather")
+
+    def cur_full(d):
+        ops = (ai,) + tuple(pack(d[2 * i], d[2 * i + 1]) for i in range(5))
+        s = jax.lax.sort(ops, num_keys=1)
+        sg = s[0]
+        vals = jnp.stack([c for v in s[1:] for c in unpack(v)], axis=-1)
+        vals = suffix_double(sg, vals)
+        return first_rows(sg, vals, k_al)
+
+    timeit(cur_full, d, label="cur/full bf16-packed reduce")
+
 
 if __name__ == "__main__":
     main()
