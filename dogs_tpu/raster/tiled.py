@@ -435,9 +435,11 @@ def _blend_with_vjp_pallas(
             ts, ch=cfg.pallas_chunk, depth_threshold=cfg.depth_threshold,
             interpret=interpret,
         )  # (W, K_pad)
-        # Columns past the last tile's stop were never written (garbage in
-        # HBM) and the sentinel-key tail carries real gaussian ids: zero
-        # both before the reduction (fuses into the sort's operand reads).
+        # Columns past the last tile's stop were never written by the bwd
+        # kernel (garbage HBM): zero them before the reduction (fuses into
+        # the sort's operand reads). Their payload ids all point at trash
+        # rows (binning sends invalid candidates to id n), but garbage can
+        # be NaN and where(same, NaN, 0) poisons nothing only if zeroed.
         valid_end = aligned_starts[n_tiles]
         col_ok = jnp.arange(k_al, dtype=jnp.int32) < valid_end
 
@@ -492,22 +494,33 @@ def _blend_with_vjp_pallas(
             for v in sorted_ops[1:]:
                 hi, lo = unpack(v)
                 cols += [hi, lo]
-            vals = jnp.stack(cols, axis=-1)  # (K_al, n_live)
         else:
             sorted_ops = jax.lax.sort(tuple([aligned_idx] + grads), num_keys=1)
             sg = sorted_ops[0]
-            vals = jnp.stack(sorted_ops[1:], axis=-1)  # (K_al, n_live)
-        # Runs per gaussian are <= max_tiles_per_gaussian (<= 32): masked
+            cols = list(sorted_ops[1:])
+        # Runs per REAL gaussian are <= max_tiles_per_gaussian (invalid
+        # candidates carry the trash payload id, binning.py): masked
         # suffix-doubling turns each run's FIRST row into the run total.
-        # (Filler "trash" runs can be longer; they are never read.)
+        # Steps 1..2^p with 2^p the largest power below mt cover runs up to
+        # 2^(p+1) >= mt — `step < mt` is the tight pass bound. (Trash-id
+        # runs can be longer; their rows are never read.)
+        #
+        # The doubling runs on TEN SEPARATE 1-D columns, not a (K, 10)
+        # matrix: a minor dim of 10 pads to the 128-lane tile, so matrix
+        # passes would stream 12.8x the useful bytes (measured ~8 ms/step
+        # slower at K=1.4M). Stack only once at the end for the row gather.
         step = 1
-        while step < 2 * cfg.max_tiles_per_gaussian:
+        while step < cfg.max_tiles_per_gaussian:
             same = sg[:-step] == sg[step:]
-            shifted = jnp.where(same[:, None], vals[step:], 0.0)
-            vals = jnp.concatenate(
-                [vals[: k_al - step] + shifted, vals[k_al - step :]], axis=0
-            )
+            cols = [
+                jnp.concatenate(
+                    [c[: k_al - step] + jnp.where(same, c[step:], 0.0),
+                     c[k_al - step :]]
+                )
+                for c in cols
+            ]
             step *= 2
+        vals = jnp.stack(cols, axis=-1)  # (K_al, n_live)
         # First-row position of each gaussian's run.
         e = jnp.arange(k_al, dtype=jnp.int32)
         n_real = n_ext  # scatter over the full ext id space, slice later

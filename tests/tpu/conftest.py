@@ -17,12 +17,17 @@ import pytest
 
 
 def pytest_collection_modifyitems(config, items):
+    # NB: this hook sees the WHOLE session's items (pytest loads nested
+    # conftest hooks globally), so scope the skip to tests/tpu/ only —
+    # otherwise collecting tests/ would skip the entire main suite.
     if os.environ.get("DOGS_TPU_TESTS") != "1" or jax.default_backend() != "tpu":
+        here = os.path.dirname(os.path.abspath(__file__))
         skip = pytest.mark.skip(
             reason="real-TPU lane: set DOGS_TPU_TESTS=1 with a TPU attached"
         )
         for item in items:
-            item.add_marker(skip)
+            if str(item.fspath).startswith(here):
+                item.add_marker(skip)
 
 
 @pytest.fixture(scope="session", autouse=True)

@@ -159,15 +159,20 @@ def main():
         ops = (ai,) + tuple(d[i] for i in range(10))
         sorted_ops = jax.lax.sort(ops, num_keys=1)
         sg = sorted_ops[0]
-        vals = jnp.stack(sorted_ops[1:], axis=-1)
+        # Mirrors tiled.py: doubling on dense 1-D columns, tight pass bound.
+        cols = list(sorted_ops[1:])
         step_ = 1
-        while step_ < 2 * cfg.max_tiles_per_gaussian:
+        while step_ < cfg.max_tiles_per_gaussian:
             same = sg[:-step_] == sg[step_:]
-            shifted = jnp.where(same[:, None], vals[step_:], 0.0)
-            vals = jnp.concatenate(
-                [vals[: k_al - step_] + shifted, vals[k_al - step_:]], axis=0
-            )
+            cols = [
+                jnp.concatenate(
+                    [cc[: k_al - step_] + jnp.where(same, cc[step_:], 0.0),
+                     cc[k_al - step_:]]
+                )
+                for cc in cols
+            ]
             step_ *= 2
+        vals = jnp.stack(cols, axis=-1)
         e2 = jnp.arange(k_al, dtype=jnp.int32)
         bpos = jnp.full((n + 4097,), k_al, jnp.int32).at[sg].min(e2)[: n + 4096]
         present = bpos < k_al
