@@ -190,6 +190,8 @@ def _measure(
     bin_capacity: int | None = None,
     base_tiles: int = 4,
     overflow_capacity: int | None = None,
+    pallas_chunk: int = 128,
+    chain_steps: int = 1,
 ):
     """Rotating-camera full-train-step throughput at n gaussians.
     Returns (iters_per_sec, truncation). base_tiles/overflow_capacity are
@@ -238,24 +240,46 @@ def _measure(
         use_pallas=True,
         base_tiles=base_tiles,
         overflow_capacity=overflow_capacity or n,
+        pallas_chunk=pallas_chunk,
     )
-    step = make_train_step(
-        cfg, raster_cfg, spatial_lr_scale=5.0, active_sh_degree=3,
-        background=(0.0, 0.0, 0.0),
-    )
-
     # NOTE: jax.block_until_ready is a NO-OP through the axon TPU tunnel —
     # only a value fetch synchronizes. Fetch the loss after warmup and after
     # the timed loop so the measurement brackets real device execution.
-    for i in range(warmup):
-        ts, metrics = step(ts, cams[i % 8], gts[i % 8])
-    float(metrics["loss"])
+    if chain_steps > 1:
+        # Production in-jit chaining (TrainerConfig.chain_steps, the default
+        # in the large-scene configs): scan chain_steps steps per dispatch,
+        # rotating through all 8 viewpoints inside each chunk.
+        from dogs_tpu.train.trainer import make_chained_train_step
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        ts, metrics = step(ts, cams[i % 8], gts[i % 8])
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
+        assert iters % chain_steps == 0 and chain_steps % len(cams) == 0
+        chained = make_chained_train_step(
+            cfg, raster_cfg, spatial_lr_scale=5.0, active_sh_degree=3,
+            background=(0.0, 0.0, 0.0),
+        )
+        reps = chain_steps // len(cams)
+        cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs * reps), *cams)
+        gt_stack = jnp.concatenate([jnp.stack(gts)] * reps)
+        for _ in range(max(2, warmup // chain_steps)):
+            ts, metrics = chained(ts, cam_stack, gt_stack)
+        float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters // chain_steps):
+            ts, metrics = chained(ts, cam_stack, gt_stack)
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+    else:
+        step = make_train_step(
+            cfg, raster_cfg, spatial_lr_scale=5.0, active_sh_degree=3,
+            background=(0.0, 0.0, 0.0),
+        )
+        for i in range(warmup):
+            ts, metrics = step(ts, cams[i % 8], gts[i % 8])
+        float(metrics["loss"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            ts, metrics = step(ts, cams[i % 8], gts[i % 8])
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
 
     # Budget telemetry: nonzero means the two-tier bin budgets silently cut
     # splats and the number is not trustworthy.
@@ -271,8 +295,16 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # `--chain` measures the in-jit chained dispatch (trainer.chain_steps in
+    # the large-scene configs; 8 steps per dispatch, one camera rotation per
+    # chunk). Default stays per-step dispatch: the chained program's first
+    # compile through the remote-compile tunnel is slow enough to risk a
+    # cold-cache bench run timing out.
+    import sys
+
+    chain = 8 if "--chain" in sys.argv else 1
     its, truncation = _measure(
-        N_GAUSSIANS, WARMUP + 8, 24, bin_capacity=1_400_000
+        N_GAUSSIANS, 16, 48, bin_capacity=1_400_000, chain_steps=chain
     )
     print(
         json.dumps(
@@ -282,6 +314,7 @@ def main():
                 "unit": "iters/sec",
                 "vs_baseline": round(its / BASELINE_ITERS_PER_SEC, 3),
                 "truncation": truncation,
+                "chain_steps": chain,
             }
         )
     )

@@ -105,6 +105,12 @@ class TrainerConfig:
     white_background: bool = False
     spatial_lr_scale: float = -1.0  # <0: compute nerf++ norm from cameras
     min_capacity: int = 4096
+    # In-jit step chaining: scan up to chain_steps train steps per dispatch
+    # (same trick as the ADMM master's chained scans, parallel/master.py) so
+    # per-step host/tunnel dispatch overhead amortizes. Chunks never cross a
+    # host event (densify / opacity reset / prune / log / val / checkpoint)
+    # or a regime switch (SH degree, coarse-to-fine resolution). 1 = off.
+    chain_steps: int = 1
     # Reaction to tile-bin saturation (overflow-pool exhaustion or entries
     # cut by bin_capacity — see raster/binning.py telemetry). "grow": widen
     # the saturated budget by bin_growth_factor and recompile; "error": fail
@@ -460,6 +466,43 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_chained_train_step(
+    cfg: TrainerConfig,
+    raster_cfg: RasterConfig,
+    spatial_lr_scale: float,
+    active_sh_degree: int,
+    background: tuple[float, float, float],
+) -> Callable:
+    """k sequential train steps per dispatch: `(ts, cameras, gts) -> (ts,
+    metrics)` where cameras is a stacked Camera pytree with leading dim k
+    and gts is (k, H, W, 3). Semantics are IDENTICAL to k host-loop calls of
+    the plain step (lax.scan, not gradient batching); only the dispatch
+    count changes. Recompiles per k (jit specializes on the leading dim).
+
+    Metrics are the last step's, except the bin saturation counters which
+    report the chunk max so mid-chunk truncation can't hide from the
+    trainer's no-silent-caps reaction.
+    """
+    step = make_train_step(
+        cfg, raster_cfg, spatial_lr_scale, active_sh_degree, background,
+        jit=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chained(ts: TrainState, cameras: Camera, gts: jnp.ndarray):
+        def body(carry, xs):
+            cam, gt = xs
+            return step(carry, cam, gt)
+
+        ts, ms = jax.lax.scan(body, ts, (cameras, gts))
+        out = jax.tree.map(lambda a: a[-1], ms)
+        for key in ("bin_pool_truncated", "bin_dropped"):
+            out[key] = jnp.max(ms[key])
+        return ts, out
+
+    return chained
+
+
 def grow_capacity(ts: TrainState, new_capacity: int) -> TrainState:
     """Host-side capacity growth (power-of-two buckets bound recompiles)."""
     model = ts.model
@@ -586,6 +629,18 @@ class GaussianSplatTrainer:
             )
         return self._step_cache[key]
 
+    def _get_chained_fn(self, active_sh_degree: int):
+        key = ("chain", active_sh_degree)
+        if key not in self._step_cache:
+            self._step_cache[key] = make_chained_train_step(
+                self.cfg,
+                self.raster_cfg,
+                self.spatial_lr_scale,
+                active_sh_degree,
+                self.background,
+            )
+        return self._step_cache[key]
+
     def active_sh_degree(self, step: int) -> int:
         return min(step // self.cfg.sh_increase_interval, self.cfg.max_sh_degree)
 
@@ -683,6 +738,78 @@ class GaussianSplatTrainer:
                 opt=zero_opacity_moments(self.state.opt),
             )
 
+    # ---- in-jit step chaining (cfg.chain_steps > 1) --------------------------
+    def _chunk_len(
+        self, s0: int, end: int,
+        log_every: int, validate_every: int, checkpoint_every: int,
+    ) -> int:
+        """Longest chain starting at step s0 that crosses no host event
+        (events fire AFTER a step, so a chunk may END at an event step) and
+        no regime switch (SH degree / coarse-to-fine resolution change AT
+        step m, so a chunk must end BEFORE m). Mirrors the ADMM master's
+        _chunk_len (parallel/master.py)."""
+        cfg = self.cfg
+        k = min(cfg.chain_steps, end - s0 + 1)
+        s = s0 - 1
+        nxt = lambda iv: (s // iv + 1) * iv
+        for iv in (
+            cfg.densification_interval, cfg.opacity_reset_interval,
+            log_every, validate_every, checkpoint_every,
+        ):
+            if iv and iv > 0:
+                k = min(k, nxt(iv) - s)
+        for p in cfg.prune_iterations:
+            if p >= s0:
+                k = min(k, p - s)
+        if cfg.white_background and cfg.densify_start_iter >= s0:
+            k = min(k, cfg.densify_start_iter - s)
+        regimes = [cfg.sh_increase_interval] if cfg.sh_increase_interval else []
+        if cfg.coarse_to_fine:
+            regimes.append(max(min(20000, cfg.densify_end_iter) // 3, 1))
+        for iv in regimes:
+            m = (s0 // iv + 1) * iv  # next switch strictly after s0
+            k = min(k, m - s0)
+        if cfg.profile_num_steps:
+            b = max(cfg.profile_start_step, 1)
+            if b > s0:
+                k = min(k, b - s0)
+        return max(k, 1)
+
+    def _train_chunk(self, s0: int, k: int) -> dict:
+        """Run steps s0 .. s0+k-1 in one jit dispatch (the caller guarantees
+        via _chunk_len that no host event or regime switch falls inside),
+        then fire the chunk-end step's host events."""
+        res = self.training_resolution(s0)
+        cams, gts = [], []
+        for _ in range(k):
+            idx = self._next_camera()
+            cam = self.cameras[idx]
+            gt = self.images[idx]
+            if res > 1:
+                from dogs_tpu.data.dataset import resize_image
+
+                cam = cam.downsample(res)
+                gt = resize_image(np.asarray(gt), cam.width, cam.height)
+            cams.append(cam)
+            gts.append(np.asarray(gt, np.float32))
+        deg = self.active_sh_degree(s0)
+        if len({(c.width, c.height) for c in cams}) > 1:
+            # Non-uniform image sizes can't stack into one scan; step the
+            # chunk through the per-shape jitted step instead.
+            step_fn = self._get_step_fn(deg)
+            for cam, gt in zip(cams, gts):
+                self.state, metrics = step_fn(self.state, cam, jnp.asarray(gt))
+        else:
+            camera = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+            self.state, metrics = self._get_chained_fn(deg)(
+                self.state, camera, jnp.asarray(np.stack(gts))
+            )
+        end_step = s0 + k - 1
+        self._maybe_densify(end_step)
+        self._maybe_reset_opacity(end_step)
+        self._maybe_lightgaussian_prune(end_step)
+        return metrics
+
     # ---- main loop -----------------------------------------------------------
     def train_iteration(self, step: int) -> dict:
         idx = self._next_camera()
@@ -745,19 +872,34 @@ class GaussianSplatTrainer:
         n_checkpoint (implicit_recon_trainer.py:296-353)."""
         n = num_iterations or self.cfg.max_iterations
         start_step = int(self.state.step)
+        end = start_step + n
         t0 = time.time()
         metrics = {}
         tracing = False
-        for step in range(start_step + 1, start_step + n + 1):
+        trace_until = 0
+        step = start_step
+        while step < end:
+            s0 = step + 1
             if (
                 self.cfg.profile_num_steps
-                and step == max(self.cfg.profile_start_step, 1)
+                and s0 == max(self.cfg.profile_start_step, 1)
                 and not tracing
             ):
                 jax.profiler.start_trace(self.cfg.profile_dir)
                 tracing = True
-                trace_until = step + self.cfg.profile_num_steps
-            metrics = self.train_iteration(step)
+                trace_until = s0 + self.cfg.profile_num_steps
+            # Per-step dispatch while tracing (per-step trace spans), else
+            # chain up to cfg.chain_steps steps into one dispatch.
+            k = 1
+            if self.cfg.chain_steps > 1 and not tracing:
+                k = self._chunk_len(
+                    s0, end, log_every, validate_every, checkpoint_every
+                )
+            if k <= 1:
+                metrics = self.train_iteration(s0)
+            else:
+                metrics = self._train_chunk(s0, k)
+            step = s0 + k - 1
             if tracing and step + 1 >= trace_until:
                 jax.tree.map(
                     lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,

@@ -309,3 +309,37 @@ def test_bin_capacity_drop_telemetry(scene):
             break
     assert cleared
     assert tr.raster_cfg.bin_capacity > 32
+
+
+def test_chunk_len_respects_event_boundaries(scene):
+    """Chained dispatch must never cross a host event (chunks may END at an
+    event step) or a regime switch (must end BEFORE the switch step)."""
+    def trainer_for(**kw):
+        base = dict(
+            chain_steps=16, densification_interval=10**9,
+            opacity_reset_interval=10**9, sh_increase_interval=10**9,
+            min_capacity=64,
+        )
+        base.update(kw)
+        return GaussianSplatTrainer(
+            cameras=scene.cameras[:5], images=scene.images[:5],
+            points=scene.points, colors=scene.colors,
+            cfg=TrainerConfig(**base), raster_cfg=RASTER,
+        )
+
+    plain = trainer_for()
+    assert plain._chunk_len(1, 10_000, 0, 0, 0) == 16
+    # events fire AFTER a step -> chunk may END AT the event step
+    dens = trainer_for(densification_interval=100)
+    assert dens._chunk_len(90, 10_000, 0, 0, 0) == 11  # 90..100
+    assert dens._chunk_len(95, 10_000, 0, 0, 0) == 6   # 95..100
+    pr = trainer_for(prune_iterations=(105,))
+    assert pr._chunk_len(101, 10_000, 0, 0, 0) == 5    # 101..105
+    assert pr._chunk_len(106, 10_000, 0, 0, 0) == 16   # prune passed
+    # regime switches happen AT step m -> chunk must end BEFORE m
+    sh = trainer_for(sh_increase_interval=50)
+    assert sh._chunk_len(140, 10_000, 0, 0, 0) == 10   # 140..149 < 150
+    assert sh._chunk_len(150, 10_000, 0, 0, 0) == 16   # 150..165 < 200
+    # log cadence is an event too; end-of-training bounds the chunk
+    assert plain._chunk_len(95, 10_000, 100, 0, 0) == 6
+    assert plain._chunk_len(9_995, 10_000, 0, 0, 0) == 6

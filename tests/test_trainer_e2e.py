@@ -60,6 +60,25 @@ def test_training_improves_psnr(scene):
     assert val["val_psnr"] > 22.0, val
 
 
+def test_chained_steps_match_host_loop(scene):
+    """cfg.chain_steps scans k steps per dispatch; the training trajectory
+    must match the per-step host loop (same camera order, same math — only
+    the dispatch granularity differs)."""
+    a = make_trainer(scene)
+    b = make_trainer(scene, chain_steps=8)
+    # 150 steps cross a densify event (100), an SH switch (100) and run
+    # partial tail chunks — all the chunk-boundary cases.
+    a.train(num_iterations=150, log_every=50)
+    b.train(num_iterations=150, log_every=50)
+    assert int(a.state.step) == int(b.state.step) == 150
+    assert int(a.state.model.num_alive) == int(b.state.model.num_alive)
+    xa = np.asarray(a.state.model.params.xyz)[np.asarray(a.state.model.alive)]
+    xb = np.asarray(b.state.model.params.xyz)[np.asarray(b.state.model.alive)]
+    np.testing.assert_allclose(xa, xb, rtol=1e-4, atol=1e-5)
+    va, vb = a.validate(), b.validate()
+    assert abs(va["val_psnr"] - vb["val_psnr"]) < 0.05, (va, vb)
+
+
 def test_densify_keeps_state_consistent(scene):
     trainer = make_trainer(scene)
     trainer.train(num_iterations=220, log_every=0)

@@ -156,11 +156,34 @@ def main():
     def s_kn(c):
         d = d_ent_t0 + c * 1e-20
         k_al = d.shape[1]
-        ops = (ai,) + tuple(d[i] for i in range(10))
+        # Mirrors the production bf16 path in tiled.py: pack grad pairs into
+        # int32 payloads (6-operand sort), unpack, 1-D suffix doubling.
+        def pack(a_, b_):
+            ai_ = jax.lax.bitcast_convert_type(
+                a_.astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            bi_ = jax.lax.bitcast_convert_type(
+                b_.astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            return jax.lax.bitcast_convert_type((ai_ << 16) | bi_, jnp.int32)
+
+        def unpack(v):
+            u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+            hi = jax.lax.bitcast_convert_type(
+                (u >> 16).astype(jnp.uint16), jnp.bfloat16
+            ).astype(jnp.float32)
+            lo = jax.lax.bitcast_convert_type(
+                (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+            ).astype(jnp.float32)
+            return hi, lo
+
+        ops = (ai,) + tuple(pack(d[2 * i], d[2 * i + 1]) for i in range(5))
         sorted_ops = jax.lax.sort(ops, num_keys=1)
         sg = sorted_ops[0]
-        # Mirrors tiled.py: doubling on dense 1-D columns, tight pass bound.
-        cols = list(sorted_ops[1:])
+        cols = []
+        for v in sorted_ops[1:]:
+            hi, lo = unpack(v)
+            cols += [hi, lo]
         step_ = 1
         while step_ < cfg.max_tiles_per_gaussian:
             same = sg[:-step_] == sg[step_:]

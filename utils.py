@@ -121,6 +121,7 @@ def _trainer_config(config):
         opt_pose_start_iter=int(config.geometry.get("opt_pose_start_iter", 3000)),
         white_background=bool(config.dataset.get("apply_mask", False)),
         spatial_lr_scale=float(geo.get("spatial_lr_scale", -1.0)),
+        chain_steps=int(config.trainer.get("chain_steps", 1)),
         profile_start_step=int(
             config.trainer.get("profile", {}).get("start_step", 0)
         ),
