@@ -98,6 +98,34 @@ def test_two_tier_binning_matches_flat(seed):
     )
 
 
+@pytest.mark.parametrize("two_tier", [False, True])
+def test_invalid_candidates_carry_trash_payload(two_tier):
+    """Invalid candidates must carry payload id == n (the trash row), never a
+    real gaussian id: the K->N gradient reduction's suffix-doubling pass
+    bound assumes every REAL id's sorted run is <= max_tiles_per_gaussian
+    (tiled.py _blend_with_vjp_pallas)."""
+    from dogs_tpu.raster.projection import project_gaussians as pg
+
+    params, cam = random_scene(seed=1)
+    proj = pg(params, cam, active_sh_degree=2)
+    kw = dict(
+        tile_size=CFG.tile_size,
+        max_tiles_per_gaussian=CFG.max_tiles_per_gaussian,
+    )
+    if two_tier:
+        kw.update(base_tiles=2, overflow_capacity=params.capacity)
+    bins = build_tile_bins(proj, cam.height, cam.width, **kw)
+    n = params.capacity
+    n_tiles = bins.tile_starts.shape[0] - 1
+    tile = np.asarray(bins.sorted_tile)
+    idx = np.asarray(bins.sorted_idx)
+    # invalid (sentinel-tile) entries all point at the trash id n
+    assert (idx[tile == n_tiles] == n).all()
+    # ... so every real id's run is bounded by the per-gaussian slot budget
+    runs = np.bincount(idx[idx < n], minlength=n)
+    assert runs.max() <= CFG.max_tiles_per_gaussian
+
+
 def test_two_tier_pool_exhaustion_truncates():
     params, cam = random_scene(seed=2)
     from dogs_tpu.raster.projection import project_gaussians as pg
