@@ -320,6 +320,65 @@ def main():
     )
 
 
+def bench_densify():
+    """Throughput INCLUDING densification events (VERDICT r2 weak #3: the
+    headline number freezes N; real training grows the cloud and pays
+    densify host work + capacity-bucket recompiles). Runs the actual
+    GaussianSplatTrainer loop with a 25-step densify cadence across 150
+    steps and reports steady-state it/s with events included."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    from dogs_tpu.raster.tiled import RasterConfig
+    from dogs_tpu.train.trainer import GaussianSplatTrainer, TrainerConfig
+
+    n = N_GAUSSIANS
+    params = bench_scene(n)
+    cams = _bench_cameras(8)
+    rng = np.random.RandomState(1)
+    gts = [rng.rand(HEIGHT, WIDTH, 3).astype(np.float32) for _ in cams]
+    cfg = TrainerConfig(
+        max_iterations=30000,
+        densify_start_iter=1,
+        densify_end_iter=10**6,
+        densification_interval=25,
+        opacity_reset_interval=10**6,
+        spatial_lr_scale=5.0,
+        chain_steps=1,
+    )
+    raster_cfg = RasterConfig(
+        max_tiles_per_gaussian=12, bin_capacity=1_600_000, use_pallas=True,
+        base_tiles=4, overflow_capacity=int(1.2 * n),
+    )
+    trainer = GaussianSplatTrainer(
+        cameras=cams, images=gts,
+        points=np.asarray(params.xyz), colors=0.5 * np.ones((n, 3), np.float32),
+        cfg=cfg, raster_cfg=raster_cfg,
+    )
+    trainer.train(num_iterations=30, log_every=0)  # warmup + first compiles
+    t0 = time.perf_counter()
+    m = trainer.train(num_iterations=120, log_every=0)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    its = 120 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "densify_cadence25_from500k_1152x864",
+                "value": round(its, 3),
+                "unit": "iters/sec",
+                "vs_baseline": round(its / BASELINE_ITERS_PER_SEC, 3),
+                "n_final": int(trainer.state.model.num_alive),
+                "truncation": int(m.get("bin_pool_truncated", 0))
+                + int(m.get("bin_dropped", 0)),
+            }
+        )
+    )
+
+
 def scaling_curve():
     """it/s at N in {0.5M, 1M, 2M, 4M} — real rubble runs grow past 500k
     (VERDICT r2 item 4). One JSON line per point."""
@@ -355,5 +414,7 @@ if __name__ == "__main__":
         bench_admm()
     elif "--scaling" in sys.argv:
         scaling_curve()
+    elif "--densify" in sys.argv:
+        bench_densify()
     else:
         main()
