@@ -303,6 +303,12 @@ def main():
     import sys
 
     chain = 8 if "--chain" in sys.argv else 1
+    # Budget sizing: the workload EVOLVES under Adam — tools/probe_budgets.py
+    # (generous budgets, no dropping) shows bin_valid peaking at 1.36M around
+    # step 3 before decaying to ~1.23M by step 64. A tighter 1.15M capacity
+    # measures 12.4 it/s but with ~40k entries silently dropped through the
+    # whole timed window — exactly the silent-cap flattery docs/performance.md
+    # forbids. 1.4M covers the evolved peak with 3% headroom (truncation=0).
     its, truncation = _measure(
         N_GAUSSIANS, 16, 48, bin_capacity=1_400_000, chain_steps=chain
     )
