@@ -44,8 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 LOG_TMIN = math.log(1e-4)
 ALPHA_MIN = 1.0 / 255.0
 ENT_WIDTH = 16
-# Entry-matrix columns (padded to 16 for sublane-aligned DMA).
-_MUX, _MUY, _CA, _CB, _CC, _R, _G, _B, _OPA, _INVD, _DEPTH = range(11)
+# Entry-matrix columns (padded to 16 for sublane-aligned DMA). _ONE is a
+# constant 1.0 for every real entry: it lets sum(w) (the alpha channel) ride
+# the forward kernel's entry @ w MXU matmul for free.
+_MUX, _MUY, _CA, _CB, _CC, _R, _G, _B, _OPA, _INVD, _DEPTH, _ONE = range(12)
 # Output rows per tile.
 _OUT_R, _OUT_G, _OUT_B, _OUT_A, _OUT_D = range(5)
 OUT_ROWS = 8
@@ -86,22 +88,21 @@ def _lower_triangular(ch: int) -> jnp.ndarray:
     return (row >= col).astype(jnp.float32)
 
 
-def _make_fwd_kernel(n_tiles_x: int, ts: int, ch: int):
+def _make_fwd_kernel(n_tiles_x: int, ts: int, ch: int, g_tiles: int):
     p = ts * ts
 
     def kernel(starts_ref, ent_hbm, out_ref, ent_buf, sems):
-        t = pl.program_id(0)
-        start = starts_ref[t]
-        stop = starts_ref[t + 1]
-        # COMPACT layout: per-tile runs are not chunk-aligned. DMA from the
-        # chunk boundary at/below `start`; rows outside [start, stop) are
-        # masked to alpha=0 (log1p(0)=0 keeps the transmittance exact).
-        off0 = (start // ch) * ch
-        n_chunks = jnp.where(stop > start, (stop - off0 + ch - 1) // ch, 0)
-        px, py = _pixel_coords(t, n_tiles_x, ts, p)
+        pg = pl.program_id(0)
         ltri = _lower_triangular(ch)
 
-        def get_dma(slot, ci):
+        def tile_range(t):
+            start = starts_ref[t]
+            stop = starts_ref[t + 1]
+            off0 = (start // ch) * ch
+            n_chunks = jnp.where(stop > start, (stop - off0 + ch - 1) // ch, 0)
+            return start, stop, off0, n_chunks
+
+        def chunk_dma(slot, off0, ci):
             off = pl.multiple_of(off0 + ci * ch, ch)
             return pltpu.make_async_copy(
                 ent_hbm.at[:, pl.ds(off, ch)],
@@ -109,61 +110,113 @@ def _make_fwd_kernel(n_tiles_x: int, ts: int, ch: int):
                 sems.at[slot],
             )
 
-        @pl.when(n_chunks > 0)
-        def _():
-            get_dma(0, 0).start()
+        def do_tile(gt: int):
+            # gt is a PYTHON int (unrolled): out_ref stores stay static and
+            # the ~1.3 us/program fixed cost amortizes over g_tiles tiles.
+            # (A cross-tile chunk-0 prefetch into dedicated head slots was
+            # measured and REJECTED: the dynamic slot select it forces in the
+            # loop body cost more than the ~1 us DMA latency it hid.)
+            t = pg * g_tiles + gt
+            start, stop, off0, n_chunks = tile_range(t)
+            # COMPACT layout: per-tile runs are not chunk-aligned. DMA from
+            # the chunk boundary at/below `start`; rows outside [start, stop)
+            # are masked to alpha=0 (log1p(0)=0 keeps transmittance exact).
+            px, py = _pixel_coords(t, n_tiles_x, ts, p)
 
-        def cond(state):
-            ci, log_t = state[0], state[1]
-            return (ci < n_chunks) & (jnp.max(log_t) >= LOG_TMIN)
-
-        def body(state):
-            ci, log_t, acc = state
-            slot = ci % 2
-
-            @pl.when(ci + 1 < n_chunks)
+            @pl.when(n_chunks > 0)
             def _():
-                get_dma((ci + 1) % 2, ci + 1).start()
+                chunk_dma(0, off0, 0).start()
 
-            get_dma(slot, ci).wait()
-            rows = ent_buf[slot].T  # (16, CH) -> (CH, 16)
-            alpha, _, _, _ = _chunk_alpha(rows, px, py)
-            rid = jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0) + off0 + ci * ch
-            alpha = jnp.where((rid >= start) & (rid < stop), alpha, 0.0)
-            lg = jnp.log1p(-alpha)
-            # Inclusive prefix over the chunk via one MXU matmul.
-            cum = jnp.dot(ltri, lg, preferred_element_type=jnp.float32)
-            log_t_incl = log_t + cum  # (CH, P), log_t broadcasts (1, P)
-            w = jnp.where(
-                log_t_incl >= LOG_TMIN, alpha * jnp.exp(log_t_incl - lg), 0.0
+            def cond(state):
+                ci, log_t = state[0], state[1]
+                return (ci < n_chunks) & (jnp.max(log_t) >= LOG_TMIN)
+
+            def body(state):
+                ci, log_t, acc = state
+                slot = ci % 2
+
+                @pl.when(ci + 1 < n_chunks)
+                def _():
+                    chunk_dma((ci + 1) % 2, off0, ci + 1).start()
+
+                chunk_dma(slot, off0, ci).wait()
+                rows = ent_buf[slot].T  # (16, CH) -> (CH, 16)
+                alpha, _, _, _ = _chunk_alpha(rows, px, py)
+                rid = (
+                    jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0)
+                    + off0 + ci * ch
+                )
+                alpha = jnp.where((rid >= start) & (rid < stop), alpha, 0.0)
+                lg = jnp.log1p(-alpha)
+                # Inclusive prefix over the chunk via one MXU matmul.
+                cum = jnp.dot(ltri, lg, preferred_element_type=jnp.float32)
+                log_t_incl = log_t + cum  # (CH, P), log_t broadcasts (1, P)
+                w = jnp.where(
+                    log_t_incl >= LOG_TMIN, alpha * jnp.exp(log_t_incl - lg), 0.0
+                )
+                # ALL five weighted reductions (R,G,B,A,invD) ride ONE MXU
+                # matmul: sum_k w[k,p] * ent[c,k] = ent_chunk @ w, with the
+                # constant-1.0 entry row (_ONE) delivering sum(w) = A. The
+                # five separate cross-sublane VPU reduces this replaces were
+                # ~40% of the forward's per-chunk time. Masked/trash rows
+                # have w = 0, so their (real, finite) values contribute 0.
+                # Precision.HIGHEST (exact f32): DEFAULT's bf16 operand
+                # rounding (~0.2% rel) tripped hardware parity vs the
+                # exact-f32 XLA path. Mosaic only lowers DEFAULT or HIGHEST
+                # in-kernel (HIGH rejects), and exact forward totals also
+                # let the bwd w-family matmul stay at DEFAULT — net ~0.5
+                # it/s composite vs ~0.8 for HIGHEST in both kernels.
+                acc = acc + jnp.dot(
+                    ent_buf[slot], w,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (16, P)
+                log_t = log_t + cum[ch - 1 : ch, :]
+                return ci + 1, log_t, acc
+
+            init = (
+                jnp.int32(0),
+                jnp.zeros((1, p), jnp.float32),
+                jnp.zeros((ENT_WIDTH, p), jnp.float32),
             )
-            r = jnp.sum(w * rows[:, _R : _R + 1], axis=0, keepdims=True)
-            g = jnp.sum(w * rows[:, _G : _G + 1], axis=0, keepdims=True)
-            b = jnp.sum(w * rows[:, _B : _B + 1], axis=0, keepdims=True)
-            a = jnp.sum(w, axis=0, keepdims=True)
-            d = jnp.sum(w * rows[:, _INVD : _INVD + 1], axis=0, keepdims=True)
-            acc = acc + jnp.concatenate(
-                [r, g, b, a, d, jnp.zeros((OUT_ROWS - 5, p), jnp.float32)], axis=0
+            final_ci, _, acc = jax.lax.while_loop(cond, body, init)
+
+            # Saturation early-exit leaves the prefetched chunk's DMA in
+            # flight; drain it or the semaphore corrupts the next tile.
+            # (final_ci >= 1 always when n_chunks > 0: chunk 0 is consumed.)
+            @pl.when((final_ci > 0) & (final_ci < n_chunks))
+            def _():
+                chunk_dma(final_ci % 2, off0, final_ci).wait()
+
+            # Reorder the accumulated entry-weighted sums into the output
+            # row contract (R, G, B, A, invD, 0, 0, 0) once per tile.
+            out_ref[0, gt] = jnp.concatenate(
+                [
+                    acc[_R : _B + 1],
+                    acc[_ONE : _ONE + 1],
+                    acc[_INVD : _INVD + 1],
+                    jnp.zeros((OUT_ROWS - 5, p), jnp.float32),
+                ],
+                axis=0,
             )
-            log_t = log_t + cum[ch - 1 : ch, :]
-            return ci + 1, log_t, acc
 
-        init = (
-            jnp.int32(0),
-            jnp.zeros((1, p), jnp.float32),
-            jnp.zeros((OUT_ROWS, p), jnp.float32),
-        )
-        final_ci, _, acc = jax.lax.while_loop(cond, body, init)
-
-        # Saturation early-exit leaves the prefetched chunk's DMA in flight;
-        # drain it or the semaphore corrupts the next grid step.
-        @pl.when((final_ci > 0) & (final_ci < n_chunks))
-        def _():
-            get_dma(final_ci % 2, final_ci).wait()
-
-        out_ref[0] = acc
+        for gt in range(g_tiles):
+            do_tile(gt)
 
     return kernel
+
+
+def _pad_starts(aligned_starts: jnp.ndarray, n_tiles: int, g_tiles: int):
+    """Pad tile ranges so the grid covers whole g_tiles groups; padded tiles
+    get empty ranges (start == stop == K_end). One EXTRA sentinel tile is
+    appended so the cross-tile head prefetch can read tile t+1's range even
+    at the last real tile."""
+    n_pg = -(-n_tiles // g_tiles)
+    pad = n_pg * g_tiles - n_tiles + 1
+    aligned_starts = jnp.concatenate(
+        [aligned_starts, jnp.broadcast_to(aligned_starts[-1:], (pad,))]
+    )
+    return aligned_starts, n_pg
 
 
 def blend_forward_pallas(
@@ -173,59 +226,86 @@ def blend_forward_pallas(
     n_tiles_x: int,
     ts: int,
     ch: int = 32,
+    g_tiles: int = 4,
     interpret: bool = False,
 ):
     """Returns (T, OUT_ROWS, P): rows R,G,B,A,invD per tile (no background)."""
     n_tiles = n_tiles_y * n_tiles_x
     p = ts * ts
-    kernel = _make_fwd_kernel(n_tiles_x, ts, ch)
+    kernel = _make_fwd_kernel(n_tiles_x, ts, ch, g_tiles)
+    starts_pad, n_pg = _pad_starts(aligned_starts, n_tiles, g_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_pg,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, OUT_ROWS, p), lambda t, starts: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, g_tiles, OUT_ROWS, p),
+            lambda t, starts: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ENT_WIDTH, ch), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, OUT_ROWS, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pg, g_tiles, OUT_ROWS, p), jnp.float32),
         interpret=interpret,
-    )(aligned_starts, aligned_ent)
+    )(starts_pad, aligned_ent)
+    return out.reshape(n_pg * g_tiles, OUT_ROWS, p)[:n_tiles]
 
 
-def _make_bwd_kernel(n_tiles_x: int, ts: int, ch: int, depth_threshold: float):
+def _make_bwd_kernel(
+    n_tiles_x: int, ts: int, ch: int, depth_threshold: float, g_tiles: int
+):
     p = ts * ts
 
     def kernel(
         starts_ref, ent_hbm, cot_ref, dent_hbm,
         ent_buf, dent_buf, prev_buf, sems, osems, psem,
     ):
-        t = pl.program_id(0)
+        pg = pl.program_id(0)
+        ltri = _lower_triangular(ch)
+
+        for gt in range(g_tiles):
+            _bwd_tile(
+                pg * g_tiles + gt, gt, starts_ref, ent_hbm, cot_ref, dent_hbm,
+                ent_buf, dent_buf, prev_buf, sems, osems, psem,
+                ltri, n_tiles_x, ts, ch, depth_threshold, p,
+            )
+
+    return kernel
+
+
+def _bwd_tile(
+    t, gt, starts_ref, ent_hbm, cot_ref, dent_hbm,
+    ent_buf, dent_buf, prev_buf, sems, osems, psem,
+    ltri, n_tiles_x, ts, ch, depth_threshold, p,
+):
+    if True:  # keep the body's original indentation (diff hygiene)
         start = starts_ref[t]
         stop = starts_ref[t + 1]
         # COMPACT layout (see fwd kernel). The first chunk may contain the
         # PREDECESSOR tiles' trailing entries whose gradients were already
-        # written: read-modify-write it (grid programs run sequentially on
-        # the core and every put DMA is drained before the program ends, so
-        # the read sees the predecessor's completed writes).
+        # written: read-modify-write it (tiles run sequentially on the core
+        # and every put DMA is drained before the tile's body ends, so the
+        # read sees the predecessor's completed writes).
         off0 = (start // ch) * ch
         n_chunks = jnp.where(stop > start, (stop - off0 + ch - 1) // ch, 0)
         px, py = _pixel_coords(t, n_tiles_x, ts, p)
-        ltri = _lower_triangular(ch)
 
         # cot rows: 0-2 gC(rgb), 3 gA_eff, 4 gD, 5 Gtot (precomputed outside).
-        cot_r = cot_ref[0, 0:1, :]
-        cot_g = cot_ref[0, 1:2, :]
-        cot_b = cot_ref[0, 2:3, :]
-        cot_a = cot_ref[0, 3:4, :]
-        cot_d = cot_ref[0, 4:5, :]
-        g_tot = cot_ref[0, 5:6, :]
+        cot_r = cot_ref[0, gt, 0:1, :]
+        cot_g = cot_ref[0, gt, 1:2, :]
+        cot_b = cot_ref[0, gt, 2:3, :]
+        cot_a = cot_ref[0, gt, 3:4, :]
+        cot_d = cot_ref[0, gt, 4:5, :]
+        g_tot = cot_ref[0, gt, 5:6, :]
+
+        # Per-tile constant reduction basis for the w-family matmul below.
+        basis4 = jnp.concatenate([cot_r, cot_g, cot_b, cot_d], axis=0).T
 
         def get_dma(slot, ci):
             off = pl.multiple_of(off0 + ci * ch, ch)
@@ -313,6 +393,24 @@ def _make_bwd_kernel(n_tiles_x: int, ts: int, ch: int, depth_threshold: float):
             cb = rows[:, _CB : _CB + 1]
             cc = rows[:, _CC : _CC + 1]
             opa = rows[:, _OPA : _OPA + 1]
+            # The four w-weighted pixel reductions (color + invdepth grads)
+            # ride ONE MXU matmul against the per-tile cotangent basis:
+            #   M1 = w @ [cot_r cot_g cot_b cot_d]  ->  (CH, 4)
+            # DEFAULT precision is safe here: no cancellation-prone
+            # recombination follows, and with the FORWARD's accumulate
+            # matmul exact (HIGHEST) the real-TPU parity lane passes with
+            # bf16-rounded operands on this one (~0.2% rel, far below the
+            # 3e-3 gradient tolerance and SGD noise).
+            m1 = jax.lax.dot_general(
+                w, basis4, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (CH, 4): d_r, d_g, d_b, d_dv
+            # (A moment-basis matmul for the d_power family — dp @ [1 pxl
+            # pyl pxl^2 pxl*pyl pyl^2] + binomial recombination — was
+            # measured and REJECTED even with tile-local coords: the
+            # recombination cancellation forces Precision.HIGHEST on the
+            # matmul, and the 6-pass lowering costs more than the five VPU
+            # reduce chains it replaces: 12.6 -> 11.6 it/s composite.)
             red = lambda x: jnp.sum(x, axis=1, keepdims=True)  # (CH, 1)
             # On d_power's support alpha == opa * exp(power) exactly (the
             # 0.99 clamp is excluded by not_clamped), so
@@ -324,10 +422,10 @@ def _make_bwd_kernel(n_tiles_x: int, ts: int, ch: int, depth_threshold: float):
             d_cc = red(d_power * (-0.5 * dy * dy))
             d_mux = red(d_power * (ca * dx + cb * dy))
             d_muy = red(d_power * (cc * dy + cb * dx))
-            d_r = red(w * cot_r)
-            d_g = red(w * cot_g)
-            d_b = red(w * cot_b)
-            d_dv = red(w * cot_d)
+            d_r = m1[:, 0:1]
+            d_g = m1[:, 1:2]
+            d_b = m1[:, 2:3]
+            d_dv = m1[:, 3:4]
 
             if depth_threshold > 0.0:
                 damp = jnp.minimum(
@@ -386,17 +484,33 @@ def _make_bwd_kernel(n_tiles_x: int, ts: int, ch: int, depth_threshold: float):
 
         # Saturation early-exit can leave tail chunks unwritten; zero them so
         # the K->N scatter-add sees zeros, matching "no gradient past done".
+        # Saturating tiles are the COMMON case on converged scenes (mean
+        # alpha is high), so the tail covers most of the tile's chunks: keep
+        # two zero-fill DMAs in flight instead of a serialized start+wait
+        # per chunk (the buffers hold zeros throughout, so slot reuse only
+        # needs the ci-2 wait; both real puts were drained above).
+        @pl.when(final_ci < n_chunks)
+        def _():
+            dent_buf[0] = jnp.zeros((ENT_WIDTH, ch), jnp.float32)
+            dent_buf[1] = jnp.zeros((ENT_WIDTH, ch), jnp.float32)
+
         def zero_tail(ci, _):
-            slot = ci % 2
-            dent_buf[slot] = jnp.zeros((ENT_WIDTH, ch), jnp.float32)
-            cp = put_dma(slot, ci)
-            cp.start()
-            cp.wait()
+            @pl.when(ci >= final_ci + 2)
+            def _():
+                put_dma(ci % 2, ci - 2).wait()
+
+            put_dma(ci % 2, ci).start()
             return 0
 
         jax.lax.fori_loop(final_ci, n_chunks, zero_tail, 0)
 
-    return kernel
+        @pl.when(n_chunks - 1 >= final_ci)
+        def _():
+            put_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+        @pl.when(n_chunks - 2 >= final_ci)
+        def _():
+            put_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
 
 
 def blend_backward_pallas(
@@ -408,21 +522,31 @@ def blend_backward_pallas(
     ts: int,
     ch: int = 32,
     depth_threshold: float = 0.0,
+    g_tiles: int = 4,
     interpret: bool = False,
 ):
     """Returns d_ent (K_cap, 16) per-entry gradients (rows past each tile's
     valid range are zero)."""
     n_tiles = n_tiles_y * n_tiles_x
     p = ts * ts
-    kernel = _make_bwd_kernel(n_tiles_x, ts, ch, depth_threshold)
+    kernel = _make_bwd_kernel(n_tiles_x, ts, ch, depth_threshold, g_tiles)
     k_cap = aligned_ent.shape[1]
+    starts_pad, n_pg = _pad_starts(aligned_starts, n_tiles, g_tiles)
+    pad = n_pg * g_tiles - n_tiles
+    if pad:
+        cot = jnp.concatenate(
+            [cot, jnp.zeros((pad,) + cot.shape[1:], cot.dtype)], axis=0
+        )
+    cot = cot.reshape(n_pg, g_tiles, *cot.shape[1:])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_pg,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, OUT_ROWS, p), lambda t, starts: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, g_tiles, OUT_ROWS, p),
+                lambda t, starts: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -441,4 +565,4 @@ def blend_backward_pallas(
         out_shape=jax.ShapeDtypeStruct((ENT_WIDTH, k_cap), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(aligned_starts, aligned_ent, cot)
+    )(starts_pad, aligned_ent, cot)

@@ -73,6 +73,10 @@ class RasterConfig:
     bin_capacity: int | None = None  # sorted-entry budget; None = N * max_tiles
     use_pallas: bool = False  # Pallas blend kernels (TPU; interpreted on CPU)
     pallas_chunk: int = 128  # entries per DMA chunk (lane-aligned)
+    # Tiles blended per Pallas grid program: each program carries ~1.3 us of
+    # fixed cost (scalar setup, out-block pipeline) — at 3888 tiles/frame
+    # that is ~5 ms per kernel, so merging tiles amortizes it.
+    pallas_tiles_per_program: int = 4
     # Two-tier candidate budget (binning.py): every gaussian owns base_tiles
     # key slots, bigger rects draw from a shared overflow pool. None = flat
     # max_tiles_per_gaussian budget.
@@ -392,7 +396,8 @@ def _blend_with_vjp_pallas(
         aligned_t = ent_e[aligned_idx].T  # (W, K_pad)
         out = pallas_blend.blend_forward_pallas(
             aligned_t, aligned_starts, n_tiles_y, n_tiles_x, ts,
-            ch=cfg.pallas_chunk, interpret=interpret,
+            ch=cfg.pallas_chunk, g_tiles=cfg.pallas_tiles_per_program,
+            interpret=interpret,
         )  # (T, 8, P)
         tot_c = jnp.moveaxis(out[:, 0:3, :], 1, 2)  # (T, P, 3)
         aa = out[:, 3, :]
@@ -433,7 +438,7 @@ def _blend_with_vjp_pallas(
         d_ent_t = pallas_blend.blend_backward_pallas(
             aligned_t, aligned_starts, cot, n_tiles_y, n_tiles_x,
             ts, ch=cfg.pallas_chunk, depth_threshold=cfg.depth_threshold,
-            interpret=interpret,
+            g_tiles=cfg.pallas_tiles_per_program, interpret=interpret,
         )  # (W, K_pad)
         # Columns past the last tile's stop were never written by the bwd
         # kernel (garbage HBM): zero them before the reduction (fuses into
@@ -478,22 +483,19 @@ def _blend_with_vjp_pallas(
                 pack(grads[2 * i], grads[2 * i + 1]) for i in range(5)
             )
             sorted_ops = jax.lax.sort(ops, num_keys=1)
-            sg = sorted_ops[0]
+            # Dense placement: windowed one-hot MXU matmuls over the sorted
+            # runs (pallas_reduce.py). Replaces masked suffix doubling +
+            # first-row scatter-min + stacked row gather — the scatter-min
+            # alone cost ~12 ms/step (XLA scatter ~150M elem/s on v5e).
+            from dogs_tpu.raster.pallas_reduce import sorted_segment_sum_pallas
 
-            def unpack(v):
-                u = jax.lax.bitcast_convert_type(v, jnp.uint32)
-                hi = jax.lax.bitcast_convert_type(
-                    (u >> 16).astype(jnp.uint16), jnp.bfloat16
-                ).astype(jnp.float32)
-                lo = jax.lax.bitcast_convert_type(
-                    (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
-                ).astype(jnp.float32)
-                return hi, lo
-
-            cols = []
-            for v in sorted_ops[1:]:
-                hi, lo = unpack(v)
-                cols += [hi, lo]
+            d_rows = sorted_segment_sum_pallas(
+                sorted_ops[0],
+                sorted_ops[1:],
+                n_out=n_ext,
+                interpret=interpret,
+            )
+            return d_rows, d_bg
         else:
             sorted_ops = jax.lax.sort(tuple([aligned_idx] + grads), num_keys=1)
             sg = sorted_ops[0]
@@ -611,7 +613,11 @@ def render_tiled(
             opacity[:, None],
             invd[:, None],
             jax.lax.stop_gradient(dsafe)[:, None],
-            jnp.zeros((params.capacity, ENT_WIDTH - 11), jnp.float32),
+            # Column 11 (_ONE) is a constant 1.0: the Pallas forward folds
+            # the alpha channel (sum of blend weights) into its entry @ w
+            # matmul via this row. Constant => no gradient path.
+            jnp.ones((params.capacity, 1), jnp.float32),
+            jnp.zeros((params.capacity, ENT_WIDTH - 12), jnp.float32),
         ],
         axis=1,
     )
