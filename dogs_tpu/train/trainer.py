@@ -51,6 +51,19 @@ from dogs_tpu.train.optim import (
 
 logger = logging.getLogger(__name__)
 
+# Densify host events run OUTSIDE the train-step jit (they are rare and
+# data-dependent), but must still be ONE dispatch each: eagerly they decay
+# into dozens of op-by-op dispatches whose first-call compiles alone cost
+# tens of seconds through a remote-TPU attachment (measured ~54 s per 100
+# steps on the --quality bench at densification_interval=100). One compile
+# per capacity bucket, one dispatch per event. The float hyperparameters
+# trace as scalars (not static), so their values don't fragment the cache;
+# the None-vs-value thresholds ARE python branches, hence static.
+_required_slots_jit = jax.jit(required_slots)
+_densify_and_prune_jit = jax.jit(
+    densify_and_prune, static_argnames=("max_screen_size", "bbox_z_min")
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainerConfig:
@@ -667,7 +680,7 @@ class GaussianSplatTrainer:
         if step % cfg.densification_interval != 0:
             return
         need = int(
-            required_slots(
+            _required_slots_jit(
                 self.state.model,
                 cfg.densify_grad_threshold,
                 cfg.percent_dense,
@@ -682,7 +695,7 @@ class GaussianSplatTrainer:
             cfg.size_threshold if step > cfg.opacity_reset_interval else None
         )
         self.jax_key, sub = jax.random.split(self.jax_key)
-        new_model, allocated, overflow = densify_and_prune(
+        new_model, allocated, overflow = _densify_and_prune_jit(
             self.state.model,
             sub,
             cfg.densify_grad_threshold,
