@@ -18,6 +18,7 @@ import dataclasses
 import functools
 import logging
 import time
+from collections import OrderedDict
 from typing import Any, Callable, Sequence
 
 import flax.struct
@@ -124,6 +125,10 @@ class TrainerConfig:
     # host event (densify / opacity reset / prune / log / val / checkpoint)
     # or a regime switch (SH degree, coarse-to-fine resolution). 1 = off.
     chain_steps: int = 1
+    # Device-resident GT image cache budget in bytes (LRU): keeps recently
+    # used training images in HBM so chained chunks stack them on-device
+    # instead of re-staging host->device every dispatch. 0 disables.
+    gt_cache_bytes: int = 2 << 30
     # Reaction to tile-bin saturation (overflow-pool exhaustion or entries
     # cut by bin_capacity — see raster/binning.py telemetry). "grow": widen
     # the saturated budget by bin_growth_factor and recompile; "error": fail
@@ -628,6 +633,14 @@ class GaussianSplatTrainer:
         self._order: list[int] = []
         self.metrics_history: list[dict] = []
         self.admm_penalty_fn = None  # hook used by the ADMM block trainer
+        # Device-resident GT cache (single-device analogue of the ADMM
+        # master's HBM-resident image pool): without it every chained chunk
+        # re-stages its full-res GT stack host->device — ~285 MB per
+        # 25-step chunk at 1152x864, which throttled a remote-TPU training
+        # run to 1.3 it/s against a 12 it/s step time. LRU-bounded so huge
+        # scenes streaming thousands of images from disk don't pin HBM.
+        self._gt_cache: "OrderedDict[tuple, jnp.ndarray]" = OrderedDict()
+        self._gt_cache_bytes = 0
 
     # ---- jit-cache helpers -------------------------------------------------
     def _get_step_fn(self, active_sh_degree: int):
@@ -788,6 +801,31 @@ class GaussianSplatTrainer:
                 k = min(k, b - s0)
         return max(k, 1)
 
+    def _gt_on_device(self, idx: int, res: int) -> tuple[Camera, jnp.ndarray]:
+        """Camera + device-resident GT for image `idx` at C2F factor `res`.
+        LRU-bounded by cfg.gt_cache_bytes (see __init__)."""
+        cam = self.cameras[idx]
+        key = (idx, res)
+        gt_dev = self._gt_cache.get(key)
+        if res > 1:
+            cam = cam.downsample(res)
+        if gt_dev is None:
+            gt = self.images[idx]
+            if res > 1:
+                from dogs_tpu.data.dataset import resize_image
+
+                gt = resize_image(np.asarray(gt), cam.width, cam.height)
+            gt_dev = jnp.asarray(gt, jnp.float32)
+            if self.cfg.gt_cache_bytes:
+                self._gt_cache[key] = gt_dev
+                self._gt_cache_bytes += gt_dev.nbytes
+                while self._gt_cache_bytes > self.cfg.gt_cache_bytes:
+                    _, old = self._gt_cache.popitem(last=False)
+                    self._gt_cache_bytes -= old.nbytes
+        else:
+            self._gt_cache.move_to_end(key)
+        return cam, gt_dev
+
     def _train_chunk(self, s0: int, k: int) -> dict:
         """Run steps s0 .. s0+k-1 in one jit dispatch (the caller guarantees
         via _chunk_len that no host event or regime switch falls inside),
@@ -795,27 +833,22 @@ class GaussianSplatTrainer:
         res = self.training_resolution(s0)
         cams, gts = [], []
         for _ in range(k):
-            idx = self._next_camera()
-            cam = self.cameras[idx]
-            gt = self.images[idx]
-            if res > 1:
-                from dogs_tpu.data.dataset import resize_image
-
-                cam = cam.downsample(res)
-                gt = resize_image(np.asarray(gt), cam.width, cam.height)
+            cam, gt_dev = self._gt_on_device(self._next_camera(), res)
             cams.append(cam)
-            gts.append(np.asarray(gt, np.float32))
+            gts.append(gt_dev)
         deg = self.active_sh_degree(s0)
         if len({(c.width, c.height) for c in cams}) > 1:
             # Non-uniform image sizes can't stack into one scan; step the
             # chunk through the per-shape jitted step instead.
             step_fn = self._get_step_fn(deg)
             for cam, gt in zip(cams, gts):
-                self.state, metrics = step_fn(self.state, cam, jnp.asarray(gt))
+                self.state, metrics = step_fn(self.state, cam, gt)
         else:
             camera = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+            # jnp.stack of device-resident arrays is a device-side concat —
+            # no host->device staging in the steady state.
             self.state, metrics = self._get_chained_fn(deg)(
-                self.state, camera, jnp.asarray(np.stack(gts))
+                self.state, camera, jnp.stack(gts)
             )
         end_step = s0 + k - 1
         self._maybe_densify(end_step)
@@ -825,20 +858,13 @@ class GaussianSplatTrainer:
 
     # ---- main loop -----------------------------------------------------------
     def train_iteration(self, step: int) -> dict:
-        idx = self._next_camera()
-        res = self.training_resolution(step)
-        camera = self.cameras[idx]
-        gt = self.images[idx]
-        if res > 1:
-            # Area-resize the supervision like the reference's minify-backed
-            # C2F (gaussian_trainer.py:309-319) — nearest subsampling
-            # aliases the coarse-stage signal (VERDICT r2 Weak #4).
-            from dogs_tpu.data.dataset import resize_image
-
-            camera = camera.downsample(res)
-            gt = resize_image(np.asarray(gt), camera.width, camera.height)
+        # C2F supervision is area-resized like the reference's minify-backed
+        # schedule (gaussian_trainer.py:309-319) inside _gt_on_device.
+        camera, gt = self._gt_on_device(
+            self._next_camera(), self.training_resolution(step)
+        )
         step_fn = self._get_step_fn(self.active_sh_degree(step))
-        self.state, metrics = step_fn(self.state, camera, jnp.asarray(gt))
+        self.state, metrics = step_fn(self.state, camera, gt)
         self._maybe_densify(step)
         self._maybe_reset_opacity(step)
         self._maybe_lightgaussian_prune(step)
