@@ -444,9 +444,58 @@ def bench_quality():
     from dogs_tpu.raster.tiled import RasterConfig, render_tiled
     from dogs_tpu.train.trainer import GaussianSplatTrainer, TrainerConfig
 
+    # SURFACE teacher + WIDE-baseline ring cameras. Two failure modes were
+    # measured and designed out: (a) _bench_cameras' ±4.5° yaw perturbations
+    # (a throughput workload) give no baseline, so the student places splats
+    # at arbitrary depths — 42 dB train / 18 dB val; (b) a volumetric
+    # random-fog teacher is ill-posed from any camera count (occlusion
+    # ordering differs per view; many foggy solutions fit the train views) —
+    # 34 dB train / 14.5 dB val. Real captures are SURFACES; this teacher is
+    # a bumpy ground plane + a sphere with smooth procedural color, splat
+    # footprints 2-6 px like a converged real scene.
+    from dogs_tpu.core.gaussians import GaussianParams, inverse_sigmoid
+    from dogs_tpu.core.sh import rgb_to_sh
+    from dogs_tpu.data.synthetic import ring_cameras
+
     n_teacher = 200_000
-    teacher = bench_scene(n_teacher, seed=7)
-    cams = _bench_cameras(12)
+    rng_t = np.random.RandomState(7)
+    n_pl = n_teacher // 2
+    n_sp = n_teacher - n_pl
+    # Bumpy ground plane y = -1.4 + bumps, x/z in [-2.5, 2.5].
+    px = rng_t.uniform(-2.5, 2.5, n_pl)
+    pz = rng_t.uniform(-2.5, 2.5, n_pl)
+    py = -1.4 + 0.15 * np.sin(2.3 * px) * np.cos(1.7 * pz)
+    plane = np.stack([px, py, pz], -1)
+    plane_rgb = np.stack(
+        [
+            0.5 + 0.4 * np.sin(3.1 * px) * np.sin(2.2 * pz),
+            0.5 + 0.35 * np.cos(2.9 * pz),
+            0.45 + 0.3 * np.sin(1.3 * px + 2.1 * pz),
+        ],
+        -1,
+    )
+    # Sphere shell radius 1.2 centered at origin.
+    d = rng_t.randn(n_sp, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-9
+    sphere = d * (1.2 + 0.05 * np.sin(5.0 * d[:, :1]) * np.cos(4.0 * d[:, 1:2]))
+    sphere_rgb = 0.5 + 0.45 * d  # color by normal: smooth, view-consistent
+    t_xyz = np.concatenate([plane, sphere]).astype(np.float32)
+    t_rgb = np.clip(np.concatenate([plane_rgb, sphere_rgb]), 0.02, 0.98)
+    teacher = GaussianParams(
+        xyz=jnp.asarray(t_xyz),
+        feat_dc=rgb_to_sh(jnp.asarray(t_rgb, jnp.float32))[:, None, :],
+        feat_rest=jnp.zeros((n_teacher, 15, 3), jnp.float32),
+        log_scale=jnp.asarray(
+            np.log(rng_t.uniform(0.008, 0.025, (n_teacher, 3))), jnp.float32
+        ),
+        quat=jnp.asarray(rng_t.randn(n_teacher, 4), jnp.float32),
+        logit_opacity=inverse_sigmoid(
+            jnp.asarray(rng_t.uniform(0.55, 0.95, (n_teacher, 1)), jnp.float32)
+        ),
+    )
+    cams = ring_cameras(
+        20, radius=5.0, width=WIDTH, height=HEIGHT, focal=900.0
+    )
     render_cfg = RasterConfig(
         max_tiles_per_gaussian=12, use_pallas=True, base_tiles=4,
         overflow_capacity=n_teacher,
@@ -455,8 +504,13 @@ def bench_quality():
         lambda c: render_tiled(teacher, c, render_cfg, active_sh_degree=0).image
     )
     images = [np.asarray(render(c)) for c in cams]
-    train_cams, val_cams = cams[:10], cams[10:]
-    train_imgs, val_imgs = images[:10], images[10:]
+    # Interleaved val split so held-out poses sit between train poses, like
+    # the reference's val_interval rule.
+    val_ids = {5, 15}
+    train_cams = [c for i, c in enumerate(cams) if i not in val_ids]
+    val_cams = [c for i, c in enumerate(cams) if i in val_ids]
+    train_imgs = [im for i, im in enumerate(images) if i not in val_ids]
+    val_imgs = [im for i, im in enumerate(images) if i in val_ids]
 
     # Student: every 2nd teacher point, jittered — densify must reclaim the
     # missing half of the cloud for the PSNR to move.

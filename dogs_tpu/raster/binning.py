@@ -201,41 +201,51 @@ def build_tile_bins(
         )
         g = jax.lax.cummax(marks, axis=0) - 1  # slot -> gaussian, -1 = none
         gc = jnp.clip(g, 0, n - 1)
+        # The packed carrier must be INT32, with the float fields riding as
+        # bitcast int bits — not the other way around. Small ints bitcast to
+        # f32 are DENORMALS, and TPU/XLA flushes f32 denormals to zero in
+        # some (fusion-dependent!) lowerings of this stack+gather: measured
+        # on v5e, the f32-carrier variant silently zeroed sx0/sy0/bw/pstart
+        # in the standalone render while surviving inside the fully fused
+        # train step — the same model binned 247k entries one way and 564k
+        # the other. Integer lanes are never flushed; f32 bits -> i32 ->
+        # gather -> f32 is bit-exact.
         f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
         i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
         packed = jnp.stack(
             [
-                f(sx0),
-                f(sy0),
-                f(jnp.maximum(bw, 1)),
-                f(bw * bh),
-                f(pstart),
-                f(dq),
-                proj.means2d[:, 0],
-                proj.means2d[:, 1],
-                proj.conic[:, 0],
-                proj.conic[:, 1],
-                proj.conic[:, 2],
-                proj.opacity,
+                sx0,
+                sy0,
+                jnp.maximum(bw, 1),
+                bw * bh,
+                pstart,
+                dq,
+                i(proj.means2d[:, 0]),
+                i(proj.means2d[:, 1]),
+                i(proj.conic[:, 0]),
+                i(proj.conic[:, 1]),
+                i(proj.conic[:, 2]),
+                i(proj.opacity),
             ],
             axis=1,
-        )  # (N, 12); int fields ride as bitcast f32 (exact for all 32 bits)
+        )  # (N, 12) int32; float fields ride as bitcast int bits
         rows = packed[gc]  # the one gather
         p = jnp.arange(pool, dtype=jnp.int32)
-        l = p - i(rows[:, 4]) + mta
-        bwg = i(rows[:, 2])
+        l = p - rows[:, 4] + mta
+        bwg = rows[:, 2]
         ly = l // bwg
         lx = l - ly * bwg
-        tixp = i(rows[:, 0]) + lx
-        tiyp = i(rows[:, 1]) + ly
-        validp = (g >= 0) & (p < total) & (l < i(rows[:, 3]))
+        tixp = rows[:, 0] + lx
+        tiyp = rows[:, 1] + ly
+        validp = (g >= 0) & (p < total) & (l < rows[:, 3])
         if tile_culling:
             validp = cull(
-                tixp, tiyp, rows[:, 6], rows[:, 7],
-                rows[:, 8], rows[:, 9], rows[:, 10], rows[:, 11], validp,
+                tixp, tiyp, f(rows[:, 6]), f(rows[:, 7]),
+                f(rows[:, 8]), f(rows[:, 9]), f(rows[:, 10]), f(rows[:, 11]),
+                validp,
             )
         tilep = jnp.where(validp, tiyp * n_tiles_x + tixp, sentinel)
-        keyp = (tilep << depth_bits) | jnp.where(validp, i(rows[:, 5]), 0)
+        keyp = (tilep << depth_bits) | jnp.where(validp, rows[:, 5], 0)
         key = jnp.concatenate([key, keyp])
         payload = jnp.concatenate([payload, jnp.where(validp, gc, n)])
         num_valid = num_valid + jnp.sum(validp.astype(jnp.int32))

@@ -83,6 +83,39 @@ def test_backward_parity_100k(scene):
         _mostly_close(b, a, atol=4e-3, frac=0.99, max_out=0.1, msg=name)
 
 
+def test_two_tier_binning_jit_eager_agree(scene):
+    """Regression: the tier-B packed row matrix must be an int32 carrier.
+
+    The f32-carrier variant (ints bitcast to f32) put tile coords / pool
+    starts in DENORMAL f32 range, and XLA-on-TPU flushes f32 denormals in
+    some fusion contexts but not others: the identical two-tier binning
+    produced 2.28x different num_valid between the fully fused train step
+    and the standalone eager render, i.e. the model trained against one
+    forward and validated against another (40 dB in-step vs 16.6 dB
+    standalone on the same state). Eager-vs-jit agreement on the real chip
+    pins the flush-proof layout; the CPU suite cannot see this (no FTZ)."""
+    from dogs_tpu.raster.binning import build_tile_bins
+    from dogs_tpu.raster.projection import project_gaussians
+
+    params, cam = scene
+    proj = jax.jit(lambda p: project_gaussians(p, cam))(params)
+    proj = jax.block_until_ready(proj)
+
+    def bins(pr):
+        b = build_tile_bins(
+            pr, cam.height, cam.width,
+            max_tiles_per_gaussian=12, base_tiles=4,
+            overflow_capacity=2 * N, bin_capacity=int(4.0 * N),
+        )
+        return b.num_valid, b.sorted_tile, b.sorted_idx
+
+    nv_e, st_e, si_e = bins(proj)
+    nv_j, st_j, si_j = jax.jit(bins)(proj)
+    assert int(nv_e) == int(nv_j), (int(nv_e), int(nv_j))
+    np.testing.assert_array_equal(np.asarray(st_e), np.asarray(st_j))
+    np.testing.assert_array_equal(np.asarray(si_e), np.asarray(si_j))
+
+
 def test_train_step_truncation_zero_100k(scene):
     from dogs_tpu.fields.model import GaussianModelState
     from dogs_tpu.train.trainer import (
