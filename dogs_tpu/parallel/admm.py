@@ -331,9 +331,17 @@ def make_distributed_train_step(
                 return run_step(train, cam, gt1)
 
             new_train, ms = jax.lax.scan(body, st.train, (cam_k, gt_k))
+        # Scalar metrics: last chained step, block-averaged. The bin
+        # saturation counters instead take the chain MAX and block SUM —
+        # int32 pmean floor-divides (one block truncating 2 of 4 reads 0)
+        # and v[-1] hides mid-chunk truncation, both of which would mute
+        # the master's no-silent-caps reaction.
         metrics = {
             k: jax.lax.pmean(v[-1], BLOCK_AXIS) for k, v in ms.items()
         }
+        for k in ("bin_pool_truncated", "bin_dropped"):
+            if k in ms:
+                metrics[k] = jax.lax.psum(jnp.max(ms[k]), BLOCK_AXIS)
         new_state = st.replace(train=new_train)
         ex = lambda t: jax.tree.map(lambda a: a[None], t)
         return ex(new_state), metrics

@@ -42,6 +42,7 @@ from dogs_tpu.parallel.admm import (
     make_distributed_train_step,
 )
 from dogs_tpu.raster.tiled import RasterConfig, render_tiled
+from dogs_tpu.train import schedule
 from dogs_tpu.train.trainer import TrainerConfig
 
 logger = logging.getLogger(__name__)
@@ -313,7 +314,7 @@ class MasterTrainer:
         )
         return pool
 
-    def _build_steps(self):
+    def _build_steps(self, keep_staged: bool = False):
         # Train steps compile per (sh_degree, gt-mode, chain-length,
         # image-shape) bucket — cache keyed on (degree, pool), the rest
         # keys jit itself.
@@ -329,7 +330,11 @@ class MasterTrainer:
                 )
             )
         )
-        self._staged = None  # shapes changed -> staged chunk layout is stale
+        if not keep_staged:
+            # The staged chunk is (camera, gt) only — it survives capacity
+            # growth (keep_staged=True) but not a re-partition, whose
+            # block camera lists it was drawn from.
+            self._staged = None
 
     def _get_train_step(self, active_sh_degree: int, from_pool: bool):
         """Block-phase parity with the single-device SH annealing
@@ -345,43 +350,21 @@ class MasterTrainer:
         return self._train_steps[key]
 
     def active_sh_degree(self, step: int) -> int:
-        return min(step // self.cfg.sh_increase_interval, self.cfg.max_sh_degree)
-
-    def _c2f_interval(self) -> int:
-        return max(min(20000, self.cfg.densify_end_iter) // 3, 1)
+        return schedule.active_sh_degree(self.cfg, step)
 
     def training_resolution(self, step: int) -> int:
         """Coarse-to-fine factor, same schedule as the single-device loop
         (gaussian_trainer.py:309-319)."""
-        if not self.cfg.coarse_to_fine:
-            return 1
-        return 2 ** max(3 - step // self._c2f_interval() - 1, 0)
+        return schedule.training_resolution(self.cfg, step)
 
     def _chunk_len(self, target: int) -> int:
-        """Longest chain from self.step that crosses no host event (densify /
-        opacity reset / prune / white-background kick fire AFTER step e, so a
-        chunk may END at e) and no regime switch (SH degree / coarse-to-fine
-        resolution change AT step m, so a chunk must END BEFORE m unless it
-        starts there)."""
-        cfg = self.cfg
-        s = self.step
-        k = min(self.admm_cfg.chain_steps, target - s)
-        nxt = lambda iv: (s // iv + 1) * iv
-        for iv in (cfg.densification_interval, cfg.opacity_reset_interval):
-            if iv > 0:
-                k = min(k, nxt(iv) - s)
-        for p in cfg.prune_iterations:
-            if p > s:
-                k = min(k, p - s)
-        if cfg.white_background and cfg.densify_start_iter > s:
-            k = min(k, cfg.densify_start_iter - s)
-        regimes = [cfg.sh_increase_interval] if cfg.sh_increase_interval else []
-        if cfg.coarse_to_fine:
-            regimes.append(self._c2f_interval())
-        for iv in regimes:
-            m = ((s + 1) // iv + 1) * iv  # next switch strictly after s+1
-            k = min(k, m - 1 - s)
-        return max(k, 1)
+        """Longest event-free, regime-uniform chain from self.step+1 —
+        shared rule in train/schedule.py (the single-device trainer uses
+        the same one)."""
+        return schedule.chunk_len(
+            self.cfg, self.step + 1, target,
+            chain_steps=self.admm_cfg.chain_steps,
+        )
 
     def _stage_chunk(self, k: int, res: int):
         """Host-side: build a (k, B) camera pytree (+ (k, B, H, W, 3) GT
@@ -456,6 +439,10 @@ class MasterTrainer:
         """One `consensus_interval` chunk (master:665-728), dispatched as
         chained scans with double-buffered staging."""
         metrics = {}
+        # Chain-max/block-sum saturation counters, accumulated across EVERY
+        # chunk of the consensus interval (lazy device maxes, no extra
+        # syncs) — the warning below must not only see the last chunk.
+        sat = {"bin_pool_truncated": None, "bin_dropped": None}
         target = self.step + self.admm_cfg.consensus_interval
         while self.step < target:
             k, res, (camera, gt) = self._next_chunk(target)
@@ -464,6 +451,11 @@ class MasterTrainer:
                 from_pool=self._gt_pool is not None and res == 1,
             )
             self.state, metrics = step_fn(self.state, camera, gt, self.rho)
+            for key in sat:
+                v = metrics.get(key)
+                if v is not None:
+                    a = sat[key]
+                    sat[key] = v if a is None else jnp.maximum(a, v)
             self.step += k
             if self.step < target:
                 # Stage the next chunk while the device runs this one.
@@ -487,6 +479,9 @@ class MasterTrainer:
             metrics["primal_xyz"] = float(primal.xyz)
             metrics["dual_xyz"] = float(dual.xyz)
         out = {k: float(v) for k, v in metrics.items()}
+        for key, v in sat.items():
+            if v is not None:
+                out[key] = float(v)
         trunc = int(out.get("bin_pool_truncated", 0) + out.get("bin_dropped", 0))
         if trunc > 0:
             logger.warning(
@@ -574,7 +569,10 @@ class MasterTrainer:
             train=train, u=u, slot_map=slot_map, z_local=z_local
         )
         self._commit_state()
-        self._build_steps()  # shapes changed -> fresh compile bucket
+        # Fresh compile bucket; the staged (camera, gt) chunk is
+        # capacity-independent, so don't throw away its popped cameras
+        # and in-flight H2D transfer.
+        self._build_steps(keep_staged=True)
 
     def _densify_blocks(self):
         """Per-block local densification, vmapped over the block axis —

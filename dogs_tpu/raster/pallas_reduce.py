@@ -47,6 +47,32 @@ INV_PERM = (0, 5, 1, 6, 2, 7, 3, 8, 4, 9, 10, 11, 12, 13, 14, 15)
 OUT_ROWS = 16
 
 
+def pack_bf16_pairs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """int32 carrying bf16(a) in the high 16 bits, bf16(b) in the low.
+
+    THE pairing convention of the K->N reduce: tiled.py packs grad column
+    pairs (2i, 2i+1) with this before the id-keyed sort, the kernel below
+    unpacks them into pair-major rows (PERM order), and INV_PERM restores
+    column order on the way out. Keep pack/unpack/PERM here, together —
+    a drifted copy would land gradients in the wrong parameter columns
+    with no error."""
+    ai = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    bi = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((ai << 16) | bi, jnp.int32)
+
+
+def unpack_bf16_pairs(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of pack_bf16_pairs: (hi, lo) bf16 arrays (quantized)."""
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16), jnp.bfloat16)
+    lo = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+    return hi, lo
+
+
 def _make_kernel(window: int, ch: int, g_win: int):
     def kernel(wb_ref, mat_hbm, out_ref, buf, sems):
         pg = pl.program_id(0)
@@ -82,13 +108,7 @@ def _make_kernel(window: int, ch: int, g_win: int):
 
                 chunk_dma(slot, ci).wait()
                 rows = buf[slot]  # (8, CH) int32
-                u = jax.lax.bitcast_convert_type(rows[0:5], jnp.uint32)
-                hi = jax.lax.bitcast_convert_type(
-                    (u >> 16).astype(jnp.uint16), jnp.bfloat16
-                )
-                lo = jax.lax.bitcast_convert_type(
-                    (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
-                )
+                hi, lo = unpack_bf16_pairs(rows[0:5])
                 vals = jnp.concatenate(
                     [hi, lo, jnp.zeros((OUT_ROWS - 10, ch), jnp.bfloat16)],
                     axis=0,

@@ -468,26 +468,21 @@ def _blend_with_vjp_pallas(
             # Pack grad pairs as 2x bf16 in one int32 payload: 1 key + 5
             # payload operands instead of 1 + 10 (the sort streams ~45%
             # fewer bytes; measured the single biggest non-kernel stage).
-            def pack(a, b):
-                ai = jax.lax.bitcast_convert_type(
-                    a.astype(jnp.bfloat16), jnp.uint16
-                ).astype(jnp.uint32)
-                bi = jax.lax.bitcast_convert_type(
-                    b.astype(jnp.bfloat16), jnp.uint16
-                ).astype(jnp.uint32)
-                return jax.lax.bitcast_convert_type(
-                    (ai << 16) | bi, jnp.int32
-                )
+            # pack/unpack + the pair-major PERM live in pallas_reduce.py.
+            from dogs_tpu.raster.pallas_reduce import (
+                pack_bf16_pairs,
+                sorted_segment_sum_pallas,
+            )
 
             ops = (aligned_idx,) + tuple(
-                pack(grads[2 * i], grads[2 * i + 1]) for i in range(5)
+                pack_bf16_pairs(grads[2 * i], grads[2 * i + 1])
+                for i in range(5)
             )
             sorted_ops = jax.lax.sort(ops, num_keys=1)
             # Dense placement: windowed one-hot MXU matmuls over the sorted
             # runs (pallas_reduce.py). Replaces masked suffix doubling +
             # first-row scatter-min + stacked row gather — the scatter-min
             # alone cost ~12 ms/step (XLA scatter ~150M elem/s on v5e).
-            from dogs_tpu.raster.pallas_reduce import sorted_segment_sum_pallas
 
             d_rows = sorted_segment_sum_pallas(
                 sorted_ops[0],

@@ -42,6 +42,7 @@ from dogs_tpu.fields.model import (
 )
 from dogs_tpu.raster.ssim import ssim
 from dogs_tpu.raster.tiled import RasterConfig, render_tiled
+from dogs_tpu.train import schedule
 from dogs_tpu.train.optim import (
     SparseAdamState,
     adam_step,
@@ -668,15 +669,11 @@ class GaussianSplatTrainer:
         return self._step_cache[key]
 
     def active_sh_degree(self, step: int) -> int:
-        return min(step // self.cfg.sh_increase_interval, self.cfg.max_sh_degree)
+        return schedule.active_sh_degree(self.cfg, step)
 
     def training_resolution(self, step: int) -> int:
         """Coarse-to-fine factor (gaussian_trainer.py:309-319)."""
-        if not self.cfg.coarse_to_fine:
-            return 1
-        n_interval = 3
-        thresh = min(20000, self.cfg.densify_end_iter) // n_interval
-        return 2 ** max(n_interval - step // thresh - 1, 0)
+        return schedule.training_resolution(self.cfg, step)
 
     def _next_camera(self) -> int:
         if not self._order:
@@ -769,37 +766,18 @@ class GaussianSplatTrainer:
         self, s0: int, end: int,
         log_every: int, validate_every: int, checkpoint_every: int,
     ) -> int:
-        """Longest chain starting at step s0 that crosses no host event
-        (events fire AFTER a step, so a chunk may END at an event step) and
-        no regime switch (SH degree / coarse-to-fine resolution change AT
-        step m, so a chunk must end BEFORE m). Mirrors the ADMM master's
-        _chunk_len (parallel/master.py)."""
+        """Longest event-free, regime-uniform chain starting at s0 — shared
+        rule in train/schedule.py (the ADMM master uses the same one)."""
         cfg = self.cfg
-        k = min(cfg.chain_steps, end - s0 + 1)
-        s = s0 - 1
-        nxt = lambda iv: (s // iv + 1) * iv
-        for iv in (
-            cfg.densification_interval, cfg.opacity_reset_interval,
-            log_every, validate_every, checkpoint_every,
-        ):
-            if iv and iv > 0:
-                k = min(k, nxt(iv) - s)
-        for p in cfg.prune_iterations:
-            if p >= s0:
-                k = min(k, p - s)
-        if cfg.white_background and cfg.densify_start_iter >= s0:
-            k = min(k, cfg.densify_start_iter - s)
-        regimes = [cfg.sh_increase_interval] if cfg.sh_increase_interval else []
-        if cfg.coarse_to_fine:
-            regimes.append(max(min(20000, cfg.densify_end_iter) // 3, 1))
-        for iv in regimes:
-            m = (s0 // iv + 1) * iv  # next switch strictly after s0
-            k = min(k, m - s0)
-        if cfg.profile_num_steps:
-            b = max(cfg.profile_start_step, 1)
-            if b > s0:
-                k = min(k, b - s0)
-        return max(k, 1)
+        boundaries = (
+            (max(cfg.profile_start_step, 1),) if cfg.profile_num_steps else ()
+        )
+        return schedule.chunk_len(
+            cfg, s0, end,
+            chain_steps=cfg.chain_steps,
+            extra_intervals=(log_every, validate_every, checkpoint_every),
+            extra_boundaries=boundaries,
+        )
 
     def _gt_on_device(self, idx: int, res: int) -> tuple[Camera, jnp.ndarray]:
         """Camera + device-resident GT for image `idx` at C2F factor `res`.
@@ -914,6 +892,11 @@ class GaussianSplatTrainer:
         end = start_step + n
         t0 = time.time()
         metrics = {}
+        # Bin-saturation counters accumulate across EVERY chunk in a log
+        # window (as lazy device maxes — no per-chunk host sync), so a
+        # transient overflow in a chunk that doesn't end on a log step
+        # still reaches _react_to_bin_saturation.
+        sat_accum = {"bin_pool_truncated": None, "bin_dropped": None}
         tracing = False
         trace_until = 0
         step = start_step
@@ -938,6 +921,11 @@ class GaussianSplatTrainer:
                 metrics = self.train_iteration(s0)
             else:
                 metrics = self._train_chunk(s0, k)
+            for key in sat_accum:
+                v = metrics.get(key)
+                if v is not None:
+                    a = sat_accum[key]
+                    sat_accum[key] = v if a is None else jnp.maximum(a, v)
             step = s0 + k - 1
             if tracing and step + 1 >= trace_until:
                 jax.tree.map(
@@ -951,6 +939,10 @@ class GaussianSplatTrainer:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["iters_per_sec"] = (step - start_step) / (time.time() - t0)
                 m["step"] = step
+                for key, v in sat_accum.items():
+                    if v is not None:
+                        m[key] = float(v)
+                sat_accum = dict.fromkeys(sat_accum)
                 self.metrics_history.append(m)
                 self._react_to_bin_saturation(m)
                 logger.info(

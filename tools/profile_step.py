@@ -158,32 +158,20 @@ def main():
         k_al = d.shape[1]
         # Mirrors the production bf16 path in tiled.py: pack grad pairs into
         # int32 payloads (6-operand sort), unpack, 1-D suffix doubling.
-        def pack(a_, b_):
-            ai_ = jax.lax.bitcast_convert_type(
-                a_.astype(jnp.bfloat16), jnp.uint16
-            ).astype(jnp.uint32)
-            bi_ = jax.lax.bitcast_convert_type(
-                b_.astype(jnp.bfloat16), jnp.uint16
-            ).astype(jnp.uint32)
-            return jax.lax.bitcast_convert_type((ai_ << 16) | bi_, jnp.int32)
+        from dogs_tpu.raster.pallas_reduce import (
+            pack_bf16_pairs,
+            unpack_bf16_pairs,
+        )
 
-        def unpack(v):
-            u = jax.lax.bitcast_convert_type(v, jnp.uint32)
-            hi = jax.lax.bitcast_convert_type(
-                (u >> 16).astype(jnp.uint16), jnp.bfloat16
-            ).astype(jnp.float32)
-            lo = jax.lax.bitcast_convert_type(
-                (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
-            ).astype(jnp.float32)
-            return hi, lo
-
-        ops = (ai,) + tuple(pack(d[2 * i], d[2 * i + 1]) for i in range(5))
+        ops = (ai,) + tuple(
+            pack_bf16_pairs(d[2 * i], d[2 * i + 1]) for i in range(5)
+        )
         sorted_ops = jax.lax.sort(ops, num_keys=1)
         sg = sorted_ops[0]
         cols = []
         for v in sorted_ops[1:]:
-            hi, lo = unpack(v)
-            cols += [hi, lo]
+            hi, lo = unpack_bf16_pairs(v)
+            cols += [hi.astype(jnp.float32), lo.astype(jnp.float32)]
         step_ = 1
         while step_ < cfg.max_tiles_per_gaussian:
             same = sg[:-step_] == sg[step_:]

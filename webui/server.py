@@ -26,16 +26,26 @@ import json
 import mimetypes
 import os
 import re
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
 STATIC_DIR = Path(__file__).resolve().parent / "static"
 _ID_RE = re.compile(r"^[A-Za-z0-9_\-.]+$")
+_DISCOVER_TTL_S = 2.0
+_discover_cache: dict[str, tuple[float, dict]] = {}
 
 
 def discover_models(models_dir: str | os.PathLike) -> dict[str, Path]:
     """Map model-id -> .splat path. Ids are the path under models_dir with
-    '/' replaced by '__' (exports live at out/<expname>/export/model.splat)."""
+    '/' replaced by '__' (exports live at out/<expname>/export/model.splat).
+    Cached for a couple of seconds: the viewer issues many ranged requests
+    per model load and each would otherwise re-walk the output tree."""
+    key = str(models_dir)
+    hit = _discover_cache.get(key)
+    now = time.monotonic()
+    if hit is not None and now - hit[0] < _DISCOVER_TTL_S:
+        return hit[1]
     root = Path(models_dir)
     out: dict[str, Path] = {}
     if not root.is_dir():
@@ -44,6 +54,7 @@ def discover_models(models_dir: str | os.PathLike) -> dict[str, Path]:
         rel = p.relative_to(root)
         mid = "__".join(rel.with_suffix("").parts)
         out[mid] = p
+    _discover_cache[key] = (now, out)
     return out
 
 
@@ -112,19 +123,25 @@ class ViewerHandler(BaseHTTPRequestHandler):
         p = discover_models(self.models_dir).get(mid)
         if p is None:
             return self._send(404, b'{"error": "unknown model"}')
-        data = p.read_bytes()
+        # Serve ranges by seek/read — the viewer streams a multi-GB export
+        # progressively, and reading the whole file per ranged request
+        # would cost full-file IO x chunks x concurrent viewers.
+        size = p.stat().st_size
         rng = self.headers.get("Range")
-        if rng:
-            m = re.match(r"bytes=(\d+)-(\d*)", rng)
-            if m:
-                lo = int(m.group(1))
-                hi = int(m.group(2)) + 1 if m.group(2) else len(data)
-                hi = min(hi, len(data))
-                return self._send(
-                    206, data[lo:hi], "application/octet-stream",
-                    {"Content-Range": f"bytes {lo}-{hi - 1}/{len(data)}"},
-                )
-        self._send(200, data, "application/octet-stream")
+        with open(p, "rb") as f:
+            if rng:
+                m = re.match(r"bytes=(\d+)-(\d*)", rng)
+                if m:
+                    lo = int(m.group(1))
+                    hi = int(m.group(2)) + 1 if m.group(2) else size
+                    hi = min(hi, size)
+                    lo = min(lo, hi)
+                    f.seek(lo)
+                    return self._send(
+                        206, f.read(hi - lo), "application/octet-stream",
+                        {"Content-Range": f"bytes {lo}-{hi - 1}/{size}"},
+                    )
+            self._send(200, f.read(), "application/octet-stream")
 
 
 def make_server(models_dir: str, port: int = 0, token: str | None = None,

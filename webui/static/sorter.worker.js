@@ -6,8 +6,9 @@
  * arrays (no node/emscripten toolchain in this repo's image, and typed
  * arrays hit within ~2x of WASM for this memory-bound loop).
  *
- * in:  {pos: Float32Array(3n), view: Float32Array(16) column-major}
- * out: {order: ArrayBuffer -> Uint32Array(n), far-to-near}
+ * in:  {pos: Float32Array(3n), view: Float32Array(16) column-major, gen}
+ * out: {order: ArrayBuffer -> Uint32Array(n), gen}, far-to-near; `gen` is
+ *      echoed so the viewer can drop results that raced a model swap.
  */
 "use strict";
 
@@ -49,5 +50,5 @@ onmessage = (e) => {
   }
   for (let i = 0; i < n; i++) order[counts[depths[i]]++] = i;
   const out = order.slice(0, n);
-  postMessage({order: out.buffer}, [out.buffer]);
+  postMessage({order: out.buffer, gen: e.data.gen}, [out.buffer]);
 };

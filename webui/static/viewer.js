@@ -30,8 +30,10 @@ void main() {
   vec4 cam = u_view * vec4(i_pos, 1.0);
   if (cam.z >= -0.05) { gl_Position = vec4(0., 0., 2., 1.); return; }
 
-  // R from quaternion, V = R S S^T R^T.
-  vec4 q = normalize(i_quat);
+  // R from quaternion, V = R S S^T R^T. The attribute arrives as
+  // normalized UNSIGNED_BYTE in [0,1]; records store q*128+128, so remap
+  // to [-1,1] before normalizing.
+  vec4 q = normalize(i_quat * 2.0 - 1.0);
   float w = q.x, x = q.y, y = q.z, z = q.w;
   mat3 R = mat3(
     1.-2.*(y*y+z*z), 2.*(x*y+w*z),   2.*(x*z-w*y),
@@ -98,6 +100,7 @@ export class SplatViewer {
     this.sorter = new Worker("/static/sorter.worker.js");
     this.sorter.onmessage = (e) => this._applyOrder(e.data);
     this._sortPending = false;
+    this._gen = 0;  // bumped per setData; stale sort results are dropped
     this._controls();
   }
 
@@ -162,6 +165,8 @@ export class SplatViewer {
     }
     this.order = new Uint32Array(this.count);
     for (let i = 0; i < this.count; i++) this.order[i] = i;
+    this._gen++;
+    this._sortPending = false;  // any in-flight sort is for the old model
     this._uploadSorted();
     this.requestSort();
   }
@@ -197,6 +202,7 @@ export class SplatViewer {
   }
 
   _applyOrder(msg) {
+    if (msg.gen !== this._gen) return;  // raced a model swap — drop it
     this.order = new Uint32Array(msg.order);
     this._sortPending = false;
     this._uploadSorted();
@@ -207,7 +213,7 @@ export class SplatViewer {
     if (this._sortPending || !this.count) return;
     this._sortPending = true;
     this.sorter.postMessage({
-      pos: this.pos, view: this.viewMatrix(),
+      pos: this.pos, view: this.viewMatrix(), gen: this._gen,
     });
   }
 
