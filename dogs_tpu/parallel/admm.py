@@ -63,6 +63,16 @@ class AdmmConfig:
     # streamed (k, B, H, W, 3) chunks otherwise.
     gt_resident: bool = True
     gt_resident_max_bytes: int = 4 << 30  # per-block HBM budget for the pool
+    # On-device GT storage dtype for BOTH the resident pool and streamed
+    # chunks. Source images are 8-bit on disk (the reference's dataloaders
+    # decode the same uint8 PNGs/JPGs, conerf/datasets/realworld.py), so
+    # storing the pool at uint8 loses nothing vs the source while cutting
+    # HBM 4x — rubble-sized blocks (~414 imgs x 11.9 MB f32 ≈ 4.9 GB) drop
+    # to ~1.2 GB and fit the default budget. Streamed chunks shrink their
+    # H2D bytes 4x the same way. The train step decodes to f32 in-step
+    # (one cheap VPU multiply that fuses into the loss). "float32" opts out
+    # (e.g. HDR/EXR sources).
+    gt_dtype: str = "uint8"
     over_relaxation_coeff: float = 0.5
     alpha_xyz: float = 1e5
     alpha_fdc: float = 1e4
@@ -312,6 +322,10 @@ def make_distributed_train_step(
         cam_k = jax.tree.map(lambda a: a[:, 0], camera)  # (k, ...)
 
         def run_step(train, cam, gt1):
+            # uint8-stored GT (pool or streamed chunk) decodes to f32 here;
+            # dtype is static at trace time so this is free when f32 flows.
+            if gt1.dtype == jnp.uint8:
+                gt1 = gt1.astype(jnp.float32) * (1.0 / 255.0)
             if admm_enabled:
                 return inner(train, cam, gt1, st.u, st.z_local, rho)
             return inner(train, cam, gt1)

@@ -48,6 +48,14 @@ from dogs_tpu.train.trainer import TrainerConfig
 logger = logging.getLogger(__name__)
 
 
+def _encode_gt(im: np.ndarray, dtype) -> np.ndarray:
+    """f32 [0,1] -> storage dtype for device-side GT (uint8 round-trips the
+    8-bit source images exactly; see AdmmConfig.gt_dtype)."""
+    if dtype == np.uint8:
+        return np.clip(np.rint(im * 255.0), 0.0, 255.0).astype(np.uint8)
+    return im.astype(dtype)
+
+
 def gather_block_models(state: AdmmBlockState) -> list[GaussianModelState]:
     """Device -> host: per-block model states (master's collect step)."""
     models = []
@@ -289,19 +297,21 @@ class MasterTrainer:
             return None
         h, w, _ = first.shape
         i_max = max(len(imgs) for imgs in self.block_images)
-        if i_max * h * w * 3 * 4 > self.admm_cfg.gt_resident_max_bytes:
+        dtype = np.uint8 if self.admm_cfg.gt_dtype == "uint8" else np.float32
+        nbytes = i_max * h * w * 3 * np.dtype(dtype).itemsize
+        if nbytes > self.admm_cfg.gt_resident_max_bytes:
             logger.info("gt pool exceeds HBM budget; streaming GT chunks")
             return None
         devices = list(self.mesh.devices.flat)
         shards = []
         for k in range(b):
-            stack = np.zeros((1, i_max, h, w, 3), np.float32)
+            stack = np.zeros((1, i_max, h, w, 3), dtype)
             for i in range(len(self.block_images[k])):
                 im = np.asarray(self.block_images[k][i], np.float32)
                 if im.shape != (h, w, 3):
                     logger.info("non-uniform image shapes; streaming GT chunks")
                     return None
-                stack[0, i] = im
+                stack[0, i] = _encode_gt(im, dtype)
             shards.append(jax.device_put(stack, devices[k]))
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -309,8 +319,8 @@ class MasterTrainer:
             (b, i_max, h, w, 3), NamedSharding(self.mesh, P("block")), shards
         )
         logger.info(
-            "gt pool resident: %d images/block at %dx%d (%.0f MB/block)",
-            i_max, w, h, i_max * h * w * 3 * 4 / 1e6,
+            "gt pool resident: %d images/block at %dx%d %s (%.0f MB/block)",
+            i_max, w, h, np.dtype(dtype).name, nbytes / 1e6,
         )
         return pool
 
@@ -395,6 +405,11 @@ class MasterTrainer:
                         from dogs_tpu.data.dataset import resize_image
 
                         gt = resize_image(gt, cam.width, cam.height)
+                    # Streamed chunks ride H2D at the configured gt dtype
+                    # (uint8 default: 4x fewer transfer bytes; the step
+                    # decodes in-device).
+                    if self.admm_cfg.gt_dtype == "uint8":
+                        gt = _encode_gt(gt, np.uint8)
                     gts.append(gt)
             cam_steps.append(jax.tree.map(lambda *xs: np.stack(xs), *cams))
             if not from_pool:

@@ -180,7 +180,9 @@ def test_block_phase_lightgaussian_prune(setup):
 
 def test_gt_pool_matches_streaming(setup):
     """The HBM-resident GT pool must be an exact drop-in for streamed
-    chunks: same seed -> identical camera order -> identical training."""
+    chunks: same seed -> identical camera order -> identical training.
+    Both paths store GT at AdmmConfig.gt_dtype (uint8 default), so the
+    quantization cancels and the match stays exact."""
     m1 = _fresh_master(setup)
     m2 = _fresh_master(setup, admm_kw=dict(gt_resident=False))
     assert m1._gt_pool is not None
@@ -193,3 +195,35 @@ def test_gt_pool_matches_streaming(setup):
         np.asarray(m2.state.train.model.params.xyz),
         atol=1e-6,
     )
+
+
+def test_gt_uint8_pool_vs_float32(setup):
+    """uint8 GT storage (the default: 4x HBM/H2D reduction,
+    AdmmConfig.gt_dtype) must train within quantization noise of f32 —
+    source images are 8-bit anyway, so the pool loses nothing vs disk."""
+    m8 = _fresh_master(setup)
+    mf = _fresh_master(setup, admm_kw=dict(gt_dtype="float32"))
+    assert m8._gt_pool.dtype == jnp.uint8
+    assert mf._gt_pool.dtype == jnp.float32
+    r8 = m8.train_iteration()
+    rf = mf.train_iteration()
+    # GT differs per pixel by <= 1/510; after 4 steps the losses track.
+    assert abs(r8["loss"] - rf["loss"]) < 2e-2
+    assert (
+        np.abs(
+            np.asarray(m8.state.train.model.params.xyz)
+            - np.asarray(mf.state.train.model.params.xyz)
+        ).max()
+        < 5e-2
+    )
+
+
+def test_gt_uint8_roundtrip_exact():
+    """8-bit-valued images survive encode->decode bit-exactly."""
+    from dogs_tpu.parallel.master import _encode_gt
+
+    im = (np.arange(256, dtype=np.float32) / 255.0).reshape(16, 16)
+    enc = _encode_gt(im, np.uint8)
+    np.testing.assert_array_equal(enc, np.arange(256, dtype=np.uint8).reshape(16, 16))
+    dec = enc.astype(np.float32) / 255.0
+    np.testing.assert_allclose(dec, im, atol=1e-7)

@@ -57,6 +57,9 @@ def admm_config(config):
         enable=bool(a.get("enable", True)),
         consensus_interval=int(a.get("consensus_interval", 200)),
         chain_steps=int(a.get("chain_steps", 10)),
+        gt_resident=bool(a.get("gt_resident", True)),
+        gt_resident_max_bytes=int(a.get("gt_resident_max_bytes", 4 << 30)),
+        gt_dtype=str(a.get("gt_dtype", "uint8")),
         over_relaxation_coeff=float(a.get("over_relaxation_coeff", 0.5)),
         alpha_xyz=float(a.get("alpha_xyz", 1e5)),
         alpha_fdc=float(a.get("alpha_fdc", 1e4)),
