@@ -126,3 +126,106 @@ def test_token_auth(splat_tree):
         assert st == 200
     finally:
         srv.shutdown()
+
+
+def _post(url, data=b"", headers=None, method="POST"):
+    req = urllib.request.Request(url, data=data, headers=headers or {},
+                                 method=method)
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+def _jpost(url, obj, headers=None):
+    h = {"Content-Type": "application/json", **(headers or {})}
+    return _post(url, json.dumps(obj).encode(), h)
+
+
+def test_upload_gallery_delete_open_mode(server):
+    """Model-zoo slice in open mode (no users, no admin token): upload a
+    .splat, see it in the list + gallery with metadata, star it, delete it
+    (reference webui routes/index.cjs + delete.cjs + db.cjs models table)."""
+    base, n = server
+    body = bytes(range(32)) * 3
+    st, resp, _ = _post(f"{base}/api/models?name=fresh", body)
+    assert st == 201 and json.loads(resp) == {
+        "id": "uploads__fresh", "bytes": 96, "splats": 3
+    }
+    lst = json.loads(_get(f"{base}/api/models")[1])
+    up = [m for m in lst if m["id"] == "uploads__fresh"]
+    assert up and up[0]["owner"] == "anonymous" and up[0]["stars"] == 0
+    # Discovered-on-disk models carry no DB metadata.
+    disk = [m for m in lst if m["id"] == "exp1__export__model"]
+    assert disk and "owner" not in disk[0]
+    st, stars, _ = _post(f"{base}/api/models/uploads__fresh/star")
+    assert json.loads(stars) == {"stars": 1}
+    st, page, _ = _get(f"{base}/gallery")
+    assert b"uploads__fresh" in page and b"1 \xe2\x98\x85" in page
+    st, _, _ = _post(f"{base}/api/models/uploads__fresh", method="DELETE")
+    assert st == 200
+    assert all(
+        m["id"] != "uploads__fresh"
+        for m in json.loads(_get(f"{base}/api/models")[1])
+    )
+
+
+def test_upload_size_cap_and_validation(splat_tree):
+    root, _ = splat_tree
+    from webui.server import make_server as mk
+
+    srv = mk(str(root), port=0, max_upload_bytes=64)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{base}/api/models?name=big", b"\0" * 128)
+        assert ei.value.code == 413
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{base}/api/models?name=odd", b"\0" * 33)
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{base}/api/models?name=../evil", b"\0" * 32)
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_user_accounts_lock_api(server):
+    """Once a user exists, anonymous API access closes; login tokens open it
+    (reference auth.cjs passport-local -> stdlib pbkdf2 sessions)."""
+    base, _ = server
+    st, _, _ = _jpost(f"{base}/api/auth/signup",
+                      {"username": "alice", "password": "letmein"})
+    assert st == 201
+    # Duplicate signup rejected.
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _jpost(f"{base}/api/auth/signup",
+               {"username": "alice", "password": "x"})
+    assert ei.value.code == 409
+    # Anonymous reads now rejected; static stays public.
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{base}/api/models")
+    assert ei.value.code == 401
+    assert _get(f"{base}/")[0] == 200
+    # Bad password rejected; good one yields a working session token.
+    with pytest.raises(urllib.error.HTTPError):
+        _jpost(f"{base}/api/auth/login",
+               {"username": "alice", "password": "wrong"})
+    st, resp, _ = _jpost(f"{base}/api/auth/login",
+                         {"username": "alice", "password": "letmein"})
+    tok = json.loads(resp)["token"]
+    hdr = {"Authorization": f"Bearer {tok}"}
+    assert _get(f"{base}/api/models", headers=hdr)[0] == 200
+    assert json.loads(_get(f"{base}/api/users", headers=hdr)[1]) == ["alice"]
+    # Uploads record the session's owner; a second user cannot delete them.
+    _post(f"{base}/api/models?name=mine", b"\0" * 32, headers=hdr)
+    _jpost(f"{base}/api/auth/signup", {"username": "bob", "password": "pw"})
+    _, resp, _ = _jpost(f"{base}/api/auth/login",
+                        {"username": "bob", "password": "pw"})
+    bob = {"Authorization": f"Bearer {json.loads(resp)['token']}"}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{base}/api/models/uploads__mine", headers=bob, method="DELETE")
+    assert ei.value.code == 403
+    st, _, _ = _post(f"{base}/api/models/uploads__mine", headers=hdr,
+                     method="DELETE")
+    assert st == 200

@@ -1,19 +1,34 @@
-"""Splat model viewer server — TPU-repo counterpart of the reference webui
-(webui/server.cjs: Express static server + model routes + auth). Stdlib-only:
-no node/npm in the serving image, and nothing about serving 32-byte splat
-records needs a JS runtime.
+"""Splat model-zoo server — TPU-repo counterpart of the reference webui
+(webui/server.cjs: Express static server + model routes; db.cjs: SQLite
+users/models; routes/auth.cjs: passport-local login; routes/delete.cjs).
+Stdlib-only: no node/npm in the serving image, and nothing about serving
+32-byte splat records needs a JS runtime.
 
 Routes:
-  GET /                      -> viewer page (webui/static/index.html)
-  GET /static/<f>            -> viewer assets
-  GET /api/models            -> JSON list of discovered .splat models
-  GET /api/models/<id>       -> raw .splat bytes (Range supported: the viewer
-                                streams progressively; exports are sorted by
-                                volume x opacity so partial reads look right)
+  GET  /                      -> viewer page (webui/static/index.html)
+  GET  /gallery               -> model gallery page (metadata + deep links)
+  GET  /static/<f>            -> viewer assets
+  GET  /api/models            -> JSON list of models (discovered + uploaded;
+                                 uploaded ones carry owner/title/date/stars)
+  GET  /api/models/<id>       -> raw .splat bytes (Range supported: the viewer
+                                 streams progressively; exports are sorted by
+                                 volume x opacity so partial reads look right)
+  POST /api/models?name=<id>  -> upload a .splat (raw body; size-capped)
+  POST /api/models/<id>/star  -> +1 star
+  DELETE /api/models/<id>     -> delete an uploaded model (owner or admin)
+  POST /api/auth/signup       -> {"username","password"} -> create user
+  POST /api/auth/login        -> {"username","password"} -> {"token"}
+  GET  /api/users             -> usernames (authorized only)
 
-Auth (optional): pass --token TOKEN; non-static requests must then carry
-`Authorization: Bearer TOKEN` or `?token=` (the reference uses passport
-sessions — a bearer token is the appropriate API-server equivalent).
+Auth layers (the reference uses passport sessions + SQLite users — here the
+API-server equivalents):
+  * `--token TOKEN` is the admin bearer: full access.
+  * user sessions: signup/login against the SQLite users table; the returned
+    session token rides `Authorization: Bearer <t>` (or `?token=`).
+  * OPEN mode (no --token AND no users in the DB): reads and writes are
+    anonymous — a dev convenience matching the reference's seeded dev user.
+Once `--token` is set or a user exists, API reads/writes require auth;
+static assets stay public so the login page can load.
 
 Usage:
   python -m webui.server --models-dir out/ [--port 8080] [--token SECRET]
@@ -22,6 +37,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import html
 import json
 import mimetypes
 import os
@@ -29,6 +45,8 @@ import re
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
+
+from webui.db import ZooDB
 
 STATIC_DIR = Path(__file__).resolve().parent / "static"
 _ID_RE = re.compile(r"^[A-Za-z0-9_\-.]+$")
@@ -59,9 +77,12 @@ def discover_models(models_dir: str | os.PathLike) -> dict[str, Path]:
 
 
 class ViewerHandler(BaseHTTPRequestHandler):
-    server_version = "dogs-tpu-webui/1.0"
+    server_version = "dogs-tpu-webui/1.1"
     models_dir: str = "out"
     token: str | None = None
+    db: ZooDB | None = None
+    sessions: dict[str, str] = {}  # session-token -> username (class-shared)
+    max_upload_bytes: int = 512 << 20
 
     # -- helpers ----------------------------------------------------------
     def _send(self, code: int, body: bytes, ctype: str = "application/json",
@@ -75,19 +96,43 @@ class ViewerHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _authorized(self) -> bool:
-        if not self.token:
-            return True
+    def _json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj).encode())
+
+    def _bearer(self) -> str | None:
         hdr = self.headers.get("Authorization", "")
-        if hdr == f"Bearer {self.token}":
-            return True
-        return f"token={self.token}" in (self.path.split("?", 1) + [""])[1]
+        if hdr.startswith("Bearer "):
+            return hdr[len("Bearer "):]
+        q = (self.path.split("?", 1) + [""])[1]
+        m = re.search(r"(?:^|&)token=([^&]+)", q)
+        return m.group(1) if m else None
+
+    def _user(self) -> str | None:
+        """Authenticated identity: 'admin' for the --token bearer, the
+        session's username for a logged-in user, 'anonymous' in open mode."""
+        t = self._bearer()
+        if self.token and t == self.token:
+            return "admin"
+        if t in self.sessions:
+            return self.sessions[t]
+        if self.token is None and (self.db is None or not self.db.has_users()):
+            return "anonymous"
+        return None
+
+    def _authorized(self) -> bool:
+        return self._user() is not None
+
+    def _read_body(self, cap: int | None = None) -> bytes | None:
+        n = int(self.headers.get("Content-Length", 0) or 0)
+        if cap is not None and n > cap:
+            return None
+        return self.rfile.read(n)
 
     def log_message(self, fmt, *args):  # quiet by default
         if os.environ.get("WEBUI_VERBOSE"):
             super().log_message(fmt, *args)
 
-    # -- routes -----------------------------------------------------------
+    # -- GET routes ---------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
         path = self.path.split("?", 1)[0]
         if path == "/" or path == "/index.html":
@@ -95,20 +140,61 @@ class ViewerHandler(BaseHTTPRequestHandler):
         if path.startswith("/static/"):
             return self._static(path[len("/static/"):])
         if not self._authorized():
-            return self._send(401, b'{"error": "unauthorized"}')
+            return self._json(401, {"error": "unauthorized"})
+        if path == "/gallery":
+            return self._gallery()
         if path == "/api/models":
-            models = discover_models(self.models_dir)
-            body = json.dumps(
-                [
-                    {"id": mid, "bytes": p.stat().st_size,
-                     "splats": p.stat().st_size // 32}
-                    for mid, p in models.items()
-                ]
-            ).encode()
-            return self._send(200, body)
+            return self._json(200, self._model_list())
+        if path == "/api/users":
+            users = self.db.users() if self.db else []
+            return self._json(200, users)
         if path.startswith("/api/models/"):
             return self._model(path[len("/api/models/"):])
-        self._send(404, b'{"error": "not found"}')
+        self._json(404, {"error": "not found"})
+
+    def _model_list(self) -> list[dict]:
+        models = discover_models(self.models_dir)
+        meta = self.db.models() if self.db else {}
+        out = []
+        for mid, p in models.items():
+            entry = {"id": mid, "bytes": p.stat().st_size,
+                     "splats": p.stat().st_size // 32}
+            m = meta.get(mid)
+            if m:
+                entry.update(
+                    owner=m["owner"], title=m["title"], date=m["date"],
+                    stars=m["stars"],
+                )
+            out.append(entry)
+        return out
+
+    def _gallery(self) -> None:
+        """Server-rendered gallery — the reference's EJS index page
+        (webui/views + routes/index.cjs fetch_models) without a template
+        engine."""
+        rows = []
+        for m in self._model_list():
+            extra = ""
+            if "owner" in m:
+                extra = (f"<td>{html.escape(m['title'])}</td>"
+                         f"<td>{html.escape(m['owner'])}</td>"
+                         f"<td>{html.escape(m['date'])}</td>"
+                         f"<td>{m['stars']} ★</td>")
+            else:
+                extra = "<td colspan=4><em>discovered on disk</em></td>"
+            rows.append(
+                f"<tr><td><a href='/#model={m['id']}'>{html.escape(m['id'])}"
+                f"</a></td><td>{m['splats']:,}</td>{extra}</tr>"
+            )
+        page = (
+            "<!doctype html><title>dogs_tpu model zoo</title>"
+            "<style>body{font:14px sans-serif;margin:2em}td,th{padding:.3em "
+            ".8em;border-bottom:1px solid #ddd}a{text-decoration:none}</style>"
+            "<h1>Model zoo</h1><table><tr><th>model</th><th>splats</th>"
+            "<th>title</th><th>owner</th><th>date</th><th>stars</th></tr>"
+            + "".join(rows) + "</table>"
+        )
+        self._send(200, page.encode(), "text/html; charset=utf-8")
 
     def _static(self, name: str) -> None:
         f = (STATIC_DIR / name).resolve()
@@ -119,10 +205,10 @@ class ViewerHandler(BaseHTTPRequestHandler):
 
     def _model(self, mid: str) -> None:
         if not _ID_RE.match(mid):
-            return self._send(400, b'{"error": "bad id"}')
+            return self._json(400, {"error": "bad id"})
         p = discover_models(self.models_dir).get(mid)
         if p is None:
-            return self._send(404, b'{"error": "unknown model"}')
+            return self._json(404, {"error": "unknown model"})
         # Serve ranges by seek/read — the viewer streams a multi-GB export
         # progressively, and reading the whole file per ranged request
         # would cost full-file IO x chunks x concurrent viewers.
@@ -143,12 +229,116 @@ class ViewerHandler(BaseHTTPRequestHandler):
                     )
             self._send(200, f.read(), "application/octet-stream")
 
+    # -- POST / DELETE routes -------------------------------------------------
+    def do_POST(self) -> None:  # noqa: N802
+        path, _, query = self.path.partition("?")
+        if path == "/api/auth/signup":
+            return self._signup()
+        if path == "/api/auth/login":
+            return self._login()
+        if not self._authorized():
+            return self._json(401, {"error": "unauthorized"})
+        m = re.match(r"^/api/models/([A-Za-z0-9_\-.]+)/star$", path)
+        if m:
+            if self.db is None:
+                return self._json(400, {"error": "no db"})
+            return self._json(200, {"stars": self.db.star_model(m.group(1))})
+        if path == "/api/models":
+            return self._upload(query)
+        self._json(404, {"error": "not found"})
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        path = self.path.split("?", 1)[0]
+        if not path.startswith("/api/models/"):
+            return self._json(404, {"error": "not found"})
+        user = self._user()
+        if user is None:
+            return self._json(401, {"error": "unauthorized"})
+        mid = path[len("/api/models/"):]
+        if not _ID_RE.match(mid):
+            return self._json(400, {"error": "bad id"})
+        meta = self.db.get_model(mid) if self.db else None
+        if meta is None:
+            return self._json(404, {"error": "unknown or not deletable"})
+        # Owner-or-admin, like the reference's ensureLoggedIn + owner check.
+        if user not in ("admin", meta["owner"]) and not (
+            user == "anonymous" and meta["owner"] == "anonymous"
+        ):
+            return self._json(403, {"error": "not the owner"})
+        try:
+            os.unlink(meta["path"])
+        except FileNotFoundError:
+            pass
+        self.db.delete_model(mid)
+        _discover_cache.clear()
+        self._json(200, {"deleted": mid})
+
+    def _json_body(self) -> dict | None:
+        body = self._read_body(1 << 20)
+        if body is None:
+            return None
+        try:
+            obj = json.loads(body)
+        except (ValueError, UnicodeDecodeError):
+            return None
+        return obj if isinstance(obj, dict) else None
+
+    def _signup(self) -> None:
+        obj = self._json_body()
+        if not obj or not obj.get("username") or not obj.get("password"):
+            return self._json(400, {"error": "username+password required"})
+        if self.db is None:
+            return self._json(400, {"error": "no db"})
+        if not _ID_RE.match(obj["username"]):
+            return self._json(400, {"error": "bad username"})
+        if not self.db.create_user(obj["username"], obj["password"]):
+            return self._json(409, {"error": "username taken"})
+        self._json(201, {"created": obj["username"]})
+
+    def _login(self) -> None:
+        obj = self._json_body()
+        if not obj or self.db is None or not self.db.verify_user(
+            obj.get("username", ""), obj.get("password", "")
+        ):
+            return self._json(401, {"error": "bad credentials"})
+        import secrets
+
+        t = secrets.token_hex(16)
+        self.sessions[t] = obj["username"]
+        self._json(200, {"token": t})
+
+    def _upload(self, query: str) -> None:
+        # Full-segment match: a prefix match would accept name=../evil by
+        # matching the ".." and stopping at the slash.
+        m = re.search(r"(?:^|&)name=([A-Za-z0-9_\-.]+)(?:&|$)", query)
+        if not m:
+            return self._json(400, {"error": "name= required (id-safe chars)"})
+        name = m.group(1)
+        body = self._read_body(self.max_upload_bytes)
+        if body is None:
+            return self._json(413, {"error": "too large"})
+        if len(body) == 0 or len(body) % 32 != 0:
+            return self._json(400, {"error": "body must be 32-byte records"})
+        up = Path(self.models_dir) / "uploads"
+        up.mkdir(parents=True, exist_ok=True)
+        dest = up / f"{name}.splat"
+        dest.write_bytes(body)
+        mid = f"uploads__{name}"
+        if self.db is not None:
+            self.db.add_model(mid, self._user() or "anonymous", name, str(dest))
+        _discover_cache.clear()
+        self._json(201, {"id": mid, "bytes": len(body),
+                         "splats": len(body) // 32})
+
 
 def make_server(models_dir: str, port: int = 0, token: str | None = None,
-                host: str = "127.0.0.1") -> ThreadingHTTPServer:
+                host: str = "127.0.0.1", db_path: str | None = None,
+                max_upload_bytes: int = 512 << 20) -> ThreadingHTTPServer:
+    db = ZooDB(db_path or os.path.join(models_dir, "webui.db"))
     handler = type(
         "BoundHandler", (ViewerHandler,),
-        {"models_dir": models_dir, "token": token},
+        {"models_dir": models_dir, "token": token, "db": db,
+         "sessions": {}, "max_upload_bytes": max_upload_bytes},
     )
     return ThreadingHTTPServer((host, port), handler)
 
@@ -159,8 +349,11 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--token", default=None)
+    ap.add_argument("--db", default=None, help="sqlite path (default <models-dir>/webui.db)")
+    ap.add_argument("--max-upload-mb", type=int, default=512)
     args = ap.parse_args()
-    srv = make_server(args.models_dir, args.port, args.token, host=args.host)
+    srv = make_server(args.models_dir, args.port, args.token, host=args.host,
+                      db_path=args.db, max_upload_bytes=args.max_upload_mb << 20)
     print(f"dogs_tpu viewer on http://{args.host}:{args.port} "
           f"(models: {len(discover_models(args.models_dir))})")
     srv.serve_forever()
