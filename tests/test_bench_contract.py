@@ -86,3 +86,33 @@ def test_step_runs_with_pose_optimization_on():
     )
     ts, metrics = step(ts, cam, gt)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_quality_scene_and_block_split():
+    """bench.py --quality-admm wiring at toy scale: the shared teacher-scene
+    builder produces a learnable split, and _split_blocks partitions every
+    train camera exactly once with non-empty per-block point clouds."""
+    import bench
+
+    train_cams, train_imgs, val_cams, val_imgs, pts, cols = bench._quality_scene(
+        n_teacher=800, width=96, height=72, n_views=8, focal=80.0,
+        use_pallas=False,
+    )
+    assert len(train_cams) == 6 and len(val_cams) == 2
+    assert train_imgs[0].shape == (72, 96, 3)
+    assert pts.shape == (400, 3) and cols.shape == (400, 3)
+    part, bc, bi, bp, bcol = bench._split_blocks(
+        train_cams, train_imgs, pts, cols, mx=2, my=1
+    )
+    assert part.num_blocks == 2
+    assert sum(len(c) for c in bc) == len(train_cams)
+    assert all(len(c) == len(i) for c, i in zip(bc, bi))
+    for k in range(2):
+        assert len(bp[k]) > 0 and len(bp[k]) == len(bcol[k])
+    # Expanded bounds overlap: together the blocks cover nearly all of the
+    # cloud (points outside every expanded block box are dropped — same
+    # behavior as the reference partitioner; densify reclaims them).
+    covered = len(np.unique(np.concatenate(
+        [np.nonzero(part.point_masks[k])[0] for k in range(2)]
+    )))
+    assert covered >= 0.8 * len(pts)
