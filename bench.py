@@ -207,6 +207,7 @@ def _measure(
     overflow_capacity: int | None = None,
     pallas_chunk: int = 128,
     chain_steps: int = 1,
+    pallas_stream: bool = False,
 ):
     """Rotating-camera full-train-step throughput at n gaussians.
     Returns (iters_per_sec, truncation). base_tiles/overflow_capacity are
@@ -256,6 +257,7 @@ def _measure(
         base_tiles=base_tiles,
         overflow_capacity=overflow_capacity or n,
         pallas_chunk=pallas_chunk,
+        pallas_stream=pallas_stream,
     )
     # NOTE: jax.block_until_ready is a NO-OP through the axon TPU tunnel —
     # only a value fetch synchronizes. Fetch the loss after warmup and after

@@ -77,6 +77,11 @@ class RasterConfig:
     # fixed cost (scalar setup, out-block pipeline) — at 3888 tiles/frame
     # that is ~5 ms per kernel, so merging tiles amortizes it.
     pallas_tiles_per_program: int = 4
+    # Flat chunk-stream kernels (pallas_stream.py): one while_loop walks the
+    # whole sorted stream instead of per-tile loops — kills the per-TILE
+    # fixed cost the per-tile kernels pay (loop entry + exposed chunk-0 DMA
+    # wait). Keeps identical numerics; A/B flag until measured everywhere.
+    pallas_stream: bool = False
     # Two-tier candidate budget (binning.py): every gaussian owns base_tiles
     # key slots, bigger rects draw from a shared overflow pool. None = flat
     # max_tiles_per_gaussian budget.
@@ -394,11 +399,19 @@ def _blend_with_vjp_pallas(
 
     def fwd_impl(ent_e, background_):
         aligned_t = ent_e[aligned_idx].T  # (W, K_pad)
-        out = pallas_blend.blend_forward_pallas(
-            aligned_t, aligned_starts, n_tiles_y, n_tiles_x, ts,
-            ch=cfg.pallas_chunk, g_tiles=cfg.pallas_tiles_per_program,
-            interpret=interpret,
-        )  # (T, 8, P)
+        if cfg.pallas_stream:
+            from dogs_tpu.raster import pallas_stream
+
+            out = pallas_stream.blend_forward_stream(
+                aligned_t, aligned_starts, n_tiles_y, n_tiles_x, ts,
+                ch=cfg.pallas_chunk, interpret=interpret,
+            )  # (T, 8, P)
+        else:
+            out = pallas_blend.blend_forward_pallas(
+                aligned_t, aligned_starts, n_tiles_y, n_tiles_x, ts,
+                ch=cfg.pallas_chunk, g_tiles=cfg.pallas_tiles_per_program,
+                interpret=interpret,
+            )  # (T, 8, P)
         tot_c = jnp.moveaxis(out[:, 0:3, :], 1, 2)  # (T, P, 3)
         aa = out[:, 3, :]
         dd = out[:, 4, :]
@@ -435,11 +448,20 @@ def _blend_with_vjp_pallas(
             ],
             axis=1,
         )  # (T, 8, P)
-        d_ent_t = pallas_blend.blend_backward_pallas(
-            aligned_t, aligned_starts, cot, n_tiles_y, n_tiles_x,
-            ts, ch=cfg.pallas_chunk, depth_threshold=cfg.depth_threshold,
-            g_tiles=cfg.pallas_tiles_per_program, interpret=interpret,
-        )  # (W, K_pad)
+        if cfg.pallas_stream:
+            from dogs_tpu.raster import pallas_stream
+
+            d_ent_t = pallas_stream.blend_backward_stream(
+                aligned_t, aligned_starts, cot, n_tiles_y, n_tiles_x,
+                ts, ch=cfg.pallas_chunk, depth_threshold=cfg.depth_threshold,
+                interpret=interpret,
+            )  # (W, K_pad)
+        else:
+            d_ent_t = pallas_blend.blend_backward_pallas(
+                aligned_t, aligned_starts, cot, n_tiles_y, n_tiles_x,
+                ts, ch=cfg.pallas_chunk, depth_threshold=cfg.depth_threshold,
+                g_tiles=cfg.pallas_tiles_per_program, interpret=interpret,
+            )  # (W, K_pad)
         # Columns past the last tile's stop were never written by the bwd
         # kernel (garbage HBM): zero them before the reduction (fuses into
         # the sort's operand reads). Their payload ids all point at trash

@@ -14,20 +14,27 @@ XLA_CFG = RasterConfig(tile_size=16, max_tiles_per_gaussian=36, tile_batch=8, ch
 # Kernel-parity tests pin reduce_dtype="f32" so they isolate the Pallas
 # kernels; the bf16-packed reduction has its own quantization-bound test.
 PALLAS_CFG = dataclasses.replace(XLA_CFG, use_pallas=True, reduce_dtype="f32")
+# Flat chunk-stream kernels (pallas_stream.py): same parity bar.
+STREAM_CFG = dataclasses.replace(PALLAS_CFG, pallas_stream=True)
+
+
+@pytest.fixture(params=["pertile", "stream"])
+def pallas_cfg(request):
+    return PALLAS_CFG if request.param == "pertile" else STREAM_CFG
 
 
 @pytest.mark.parametrize("seed", [0, 3])
-def test_pallas_forward_matches_xla(seed):
+def test_pallas_forward_matches_xla(seed, pallas_cfg):
     params, cam = random_scene(seed=seed)
     bg = jnp.asarray([0.15, 0.25, 0.35])
     a = render_tiled(params, cam, XLA_CFG, background=bg, active_sh_degree=2)
-    b = render_tiled(params, cam, PALLAS_CFG, background=bg, active_sh_degree=2)
+    b = render_tiled(params, cam, pallas_cfg, background=bg, active_sh_degree=2)
     np.testing.assert_allclose(b.image, a.image, atol=3e-4)
     np.testing.assert_allclose(b.alpha, a.alpha, atol=3e-4)
     np.testing.assert_allclose(b.invdepth, a.invdepth, atol=3e-4)
 
 
-def test_pallas_grads_match_xla():
+def test_pallas_grads_match_xla(pallas_cfg):
     params, cam = random_scene(n=40, seed=5)
     bg = jnp.asarray([0.1, 0.1, 0.1])
     rng = np.random.RandomState(0)
@@ -45,7 +52,7 @@ def test_pallas_grads_match_xla():
 
     offset0 = jnp.zeros((40, 2))
     g_x = jax.grad(lambda p, o: loss(XLA_CFG, p, o), argnums=(0, 1))(params, offset0)
-    g_p = jax.grad(lambda p, o: loss(PALLAS_CFG, p, o), argnums=(0, 1))(params, offset0)
+    g_p = jax.grad(lambda p, o: loss(pallas_cfg, p, o), argnums=(0, 1))(params, offset0)
     for name in ["xyz", "feat_dc", "feat_rest", "log_scale", "quat", "logit_opacity"]:
         a = np.asarray(getattr(g_x[0], name))
         b = np.asarray(getattr(g_p[0], name))
@@ -80,7 +87,7 @@ def test_bf16_packed_reduce_close_to_f32():
         np.testing.assert_allclose(b / scale, a / scale, atol=8e-3, err_msg=name)
 
 
-def test_pallas_saturation_and_boundary_rmw():
+def test_pallas_saturation_and_boundary_rmw(pallas_cfg):
     """Adversarial case for the compact-layout kernels: fully opaque
     overlapping gaussians drive tile saturation (the zero_tail path) while
     tiny per-tile runs force many tiles to SHARE entry chunks, exercising
@@ -123,11 +130,11 @@ def test_pallas_saturation_and_boundary_rmw():
         return jnp.sum((out.image - target) ** 2) + 0.2 * jnp.sum(out.alpha**2)
 
     fx = jax.jit(lambda p: render_tiled(p, cam, XLA_CFG, background=bg, active_sh_degree=1).image)
-    fp = jax.jit(lambda p: render_tiled(p, cam, PALLAS_CFG, background=bg, active_sh_degree=1).image)
+    fp = jax.jit(lambda p: render_tiled(p, cam, pallas_cfg, background=bg, active_sh_degree=1).image)
     np.testing.assert_allclose(np.asarray(fp(params)), np.asarray(fx(params)), atol=3e-4)
 
     g_x = jax.grad(lambda p: loss(XLA_CFG, p))(params)
-    g_p = jax.grad(lambda p: loss(PALLAS_CFG, p))(params)
+    g_p = jax.grad(lambda p: loss(pallas_cfg, p))(params)
     for name in ["xyz", "feat_dc", "log_scale", "quat", "logit_opacity"]:
         a = np.asarray(getattr(g_x, name))
         b = np.asarray(getattr(g_p, name))
