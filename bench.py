@@ -312,14 +312,17 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    # `--chain` measures the in-jit chained dispatch (trainer.chain_steps in
-    # the large-scene configs; 8 steps per dispatch, one camera rotation per
-    # chunk). Default stays per-step dispatch: the chained program's first
-    # compile through the remote-compile tunnel is slow enough to risk a
-    # cold-cache bench run timing out.
+    # The headline measures the in-jit chained dispatch (8 steps/dispatch,
+    # one camera rotation per chunk) because that IS the production
+    # configuration: every large-scene config ships trainer.chain_steps: 8
+    # (config/gaussian_splatting/*.yaml:29; the ADMM config chains 10).
+    # `--no-chain` keeps per-step dispatch — e.g. for cold compile caches,
+    # where the chained program's first compile through the remote-compile
+    # tunnel is slow (the persistent cache at /tmp/jax_comp_cache makes
+    # repeat runs cheap).
     import sys
 
-    chain = 8 if "--chain" in sys.argv else 1
+    chain = 1 if "--no-chain" in sys.argv else 8
     # Budget sizing: the workload EVOLVES under Adam — tools/probe_budgets.py
     # (generous budgets, no dropping) shows bin_valid peaking at 1.36M around
     # step 3 before decaying to ~1.23M by step 64. A tighter 1.15M capacity
@@ -760,7 +763,10 @@ def bench_quality_admm():
         steps = int(sys.argv[sys.argv.index("--steps") + 1])
 
     if n_cpu:
-        n_teacher, w, h, n_views, focal = 20_000, 384, 288, 24, 300.0
+        # Sized for CPU wall-clock: the 384x288 variant measured ~45 min for
+        # a 400-step 2-block run; 256x192 keeps the recorded 2x2 run within
+        # a CPU-hour.
+        n_teacher, w, h, n_views, focal = 16_000, 256, 192, 24, 200.0
     else:
         n_teacher, w, h, n_views, focal = 200_000, WIDTH, HEIGHT, 40, 900.0
     train_cams, train_imgs, val_cams, val_imgs, pts, cols = _quality_scene(

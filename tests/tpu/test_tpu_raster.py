@@ -27,6 +27,13 @@ XLA_CFG = RasterConfig(
     base_tiles=4, overflow_capacity=2 * N,
 )
 PALLAS_CFG = dataclasses.replace(XLA_CFG, use_pallas=True, reduce_dtype="f32")
+# Flat chunk-stream kernels: same hardware parity bar as the per-tile ones.
+STREAM_CFG = dataclasses.replace(PALLAS_CFG, pallas_stream=True)
+
+
+@pytest.fixture(params=["pertile", "stream"])
+def pallas_cfg(request):
+    return PALLAS_CFG if request.param == "pertile" else STREAM_CFG
 
 
 def _mostly_close(b, a, atol, frac=0.998, max_out=0.1, msg=""):
@@ -51,11 +58,11 @@ def scene():
     return bench_scene(N, seed=7), _bench_cameras(2)[1]
 
 
-def test_forward_parity_100k(scene):
+def test_forward_parity_100k(scene, pallas_cfg):
     params, cam = scene
     bg = jnp.asarray([0.2, 0.1, 0.3])
     a = jax.jit(lambda p: render_tiled(p, cam, XLA_CFG, background=bg))(params)
-    b = jax.jit(lambda p: render_tiled(p, cam, PALLAS_CFG, background=bg))(params)
+    b = jax.jit(lambda p: render_tiled(p, cam, pallas_cfg, background=bg))(params)
     _mostly_close(b.image, a.image, atol=3e-3, frac=0.999, max_out=0.05,
                   msg="image")
     _mostly_close(b.alpha, a.alpha, atol=5e-3, frac=0.999, max_out=0.05,
@@ -64,7 +71,7 @@ def test_forward_parity_100k(scene):
                   max_out=0.05, msg="invdepth")
 
 
-def test_backward_parity_100k(scene):
+def test_backward_parity_100k(scene, pallas_cfg):
     params, cam = scene
     bg = jnp.asarray([0.0, 0.0, 0.0])
     rng = np.random.RandomState(0)
@@ -75,7 +82,7 @@ def test_backward_parity_100k(scene):
         return jnp.mean(jnp.abs(out.image - target)) + 0.1 * jnp.mean(out.alpha)
 
     g_x = jax.jit(jax.grad(lambda p: loss(XLA_CFG, p)))(params)
-    g_p = jax.jit(jax.grad(lambda p: loss(PALLAS_CFG, p)))(params)
+    g_p = jax.jit(jax.grad(lambda p: loss(pallas_cfg, p)))(params)
     for name in ["xyz", "feat_dc", "feat_rest", "log_scale", "quat",
                  "logit_opacity"]:
         a = getattr(g_x, name)
