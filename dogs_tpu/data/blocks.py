@@ -56,11 +56,20 @@ def split_compact_grid(
     positions_obb: np.ndarray, mx: int, my: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Equal-count mx x my grid over OBB xy (cluster.py:76-140 Grid2DXY):
-    split x by camera-count quantiles, then each x-strip by y quantiles.
+    split x into mx equal-count rank strips, then each strip by y ranks.
+
+    Rank-based (argsort + array_split), NOT value-quantile: tied
+    coordinates collapse quantile edges — a ring rig with two distinct x
+    stations put ALL of a strip's cameras on one side of its own y-median
+    (y == median for every member, so `y < median` is empty) and left two
+    of four blocks with zero cameras. Ranks guarantee every block gets
+    floor/ceil(n/b) members whenever n >= mx*my.
 
     Returns (labels (N,), bounds (mx*my, 2, 2)): per-block [[x0,y0],[x1,y1]]
-    in OBB coordinates. Outer blocks extend to +-inf replaced by data hull
-    padded by 10%.
+    in OBB coordinates. Edges sit at midpoints between adjacent strips'
+    boundary members; outer edges extend to the data hull padded by 10%.
+    Under ties adjacent bounds may touch — labels are authoritative for
+    cameras, and point assignment uses the expanded bounds anyway.
     """
     n = positions_obb.shape[0]
     x = positions_obb[:, 0]
@@ -69,25 +78,29 @@ def split_compact_grid(
     x_lo, x_hi = float(x.min()) - pad, float(x.max()) + pad
     y_lo, y_hi = float(y.min()) - pad, float(y.max()) + pad
 
-    x_edges = np.quantile(x, np.linspace(0, 1, mx + 1))
-    x_edges[0], x_edges[-1] = x_lo, x_hi
+    def rank_edges(vals, order, parts, lo, hi):
+        """Split `order` (indices sorted by vals) into equal-count groups;
+        edge i|i+1 = midpoint between the groups' boundary values."""
+        groups = np.array_split(order, parts)
+        edges = [lo]
+        for a, b_ in zip(groups[:-1], groups[1:]):
+            if a.size and b_.size:
+                edges.append(0.5 * (float(vals[a[-1]]) + float(vals[b_[0]])))
+            else:
+                edges.append(edges[-1])
+        edges.append(hi)
+        return groups, np.asarray(edges)
+
     labels = np.zeros((n,), np.int32)
     bounds = np.zeros((mx * my, 2, 2))
-    for i in range(mx):
-        in_x = (x >= x_edges[i]) & (x < x_edges[i + 1] if i < mx - 1 else x <= x_edges[i + 1])
-        ys = y[in_x]
-        y_edges = (
-            np.quantile(ys, np.linspace(0, 1, my + 1))
-            if ys.size
-            else np.linspace(y_lo, y_hi, my + 1)
+    x_groups, x_edges = rank_edges(x, np.argsort(x, kind="stable"), mx, x_lo, x_hi)
+    for i, strip in enumerate(x_groups):
+        y_groups, y_edges = rank_edges(
+            y, strip[np.argsort(y[strip], kind="stable")], my, y_lo, y_hi
         )
-        y_edges[0], y_edges[-1] = y_lo, y_hi
-        for j in range(my):
+        for j, cell in enumerate(y_groups):
             k = i * my + j
-            in_y = (y >= y_edges[j]) & (
-                y < y_edges[j + 1] if j < my - 1 else y <= y_edges[j + 1]
-            )
-            labels[in_x & in_y] = k
+            labels[cell] = k
             bounds[k] = [[x_edges[i], y_edges[j]], [x_edges[i + 1], y_edges[j + 1]]]
     return labels, bounds
 

@@ -230,6 +230,13 @@ class MasterTrainer:
         self.cfg = trainer_cfg
         self.raster_cfg = raster_cfg
         self.admm_cfg = admm_cfg
+        empty = [k for k, cams in enumerate(block_cameras) if not cams]
+        if empty:
+            raise ValueError(
+                f"blocks {empty} have no cameras — every block trains one "
+                "camera per step (the (k, B) chunk has no empty lane); "
+                "re-partition with fewer blocks or a different method"
+            )
         # Re-index cameras to their in-block position (each slave's
         # MiniDataset indexes locally, master:839-873): image_index keys
         # the per-block exposure/appearance tables AND the resident GT pool.

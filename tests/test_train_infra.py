@@ -157,6 +157,22 @@ def test_partition_and_block_io(tmp_path):
     np.testing.assert_allclose(blk["transform"], part.transform)
 
 
+def test_partition_tied_coordinates_fill_every_block():
+    """Regression: value-quantile edges collapse under tied coordinates —
+    a two-station ring rig (all of a strip's cameras share one y) left two
+    of four blocks with ZERO cameras, and MasterTrainer staged pop() from
+    an empty order. Rank-based split must fill every block."""
+    ang = np.linspace(0, 2 * np.pi, 22, endpoint=False)
+    # Snap to 4 stations: lots of exactly-tied x and y values.
+    snapped = np.round(np.stack([np.cos(ang), np.sin(ang)], 1))
+    cam_pos = np.concatenate([snapped * 5.0, np.zeros((22, 1))], 1)
+    points = np.random.RandomState(0).randn(200, 3)
+    part = partition_scene(cam_pos, points, mx=2, my=2)
+    counts = np.bincount(part.camera_labels, minlength=4)
+    assert counts.min() >= 4, counts
+    assert counts.sum() == 22
+
+
 def test_color_correct_fixes_affine_shift():
     rng = np.random.RandomState(1)
     ref = rng.rand(32, 32, 3).astype(np.float32) * 0.8 + 0.1
