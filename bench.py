@@ -323,6 +323,9 @@ def main():
     import sys
 
     chain = 1 if "--no-chain" in sys.argv else 8
+    # Kernel family A/B at the headline workload (tools/ab_stream.py does
+    # the unchained kernel-level comparison).
+    stream_kernels = "--stream-kernels" in sys.argv
     # Budget sizing: the workload EVOLVES under Adam — tools/probe_budgets.py
     # (generous budgets, no dropping) shows bin_valid peaking at 1.36M around
     # step 3 before decaying to ~1.23M by step 64. A tighter 1.15M capacity
@@ -330,7 +333,8 @@ def main():
     # whole timed window — exactly the silent-cap flattery docs/performance.md
     # forbids. 1.4M covers the evolved peak with 3% headroom (truncation=0).
     its, truncation = _measure(
-        N_GAUSSIANS, 16, 48, bin_capacity=1_400_000, chain_steps=chain
+        N_GAUSSIANS, 16, 48, bin_capacity=1_400_000, chain_steps=chain,
+        pallas_stream=stream_kernels,
     )
     print(
         json.dumps(
@@ -341,6 +345,7 @@ def main():
                 "vs_baseline": round(its / BASELINE_ITERS_PER_SEC, 3),
                 "truncation": truncation,
                 "chain_steps": chain,
+                "kernels": "stream" if stream_kernels else "pertile",
             }
         )
     )
