@@ -23,6 +23,16 @@ import numpy as np
 
 BASELINE_ITERS_PER_SEC = 6.0  # assumed reference single-GPU rubble throughput
 
+
+def _stream_kernels() -> bool:
+    """Kernel family for every TPU bench mode: flat chunk-stream is the
+    production default (chained A/B on the chip: 13.03 vs 12.44 it/s
+    per-tile, unchained 12.93 vs 12.36 — tools/ab_stream.py);
+    --pertile-kernels opts back into the per-tile family."""
+    import sys
+
+    return "--pertile-kernels" not in sys.argv
+
 N_GAUSSIANS = 500_000
 WIDTH, HEIGHT = 1152, 864
 WARMUP = 3
@@ -130,7 +140,7 @@ def bench_admm():
     cfg = TrainerConfig(max_iterations=30000)
     raster_cfg = RasterConfig(
         max_tiles_per_gaussian=12, bin_capacity=1_400_000, use_pallas=True,
-        base_tiles=4, overflow_capacity=n,
+        base_tiles=4, overflow_capacity=n, pallas_stream=_stream_kernels(),
     )
     stream = "--stream" in sys.argv
     gt_dtype = "float32" if "--gt-f32" in sys.argv else "uint8"
@@ -323,9 +333,11 @@ def main():
     import sys
 
     chain = 1 if "--no-chain" in sys.argv else 8
-    # Kernel family A/B at the headline workload (tools/ab_stream.py does
-    # the unchained kernel-level comparison).
-    stream_kernels = "--stream-kernels" in sys.argv
+    # Kernel family: the flat chunk-stream kernels are the headline default
+    # (chained A/B on the chip: 13.03 it/s vs 12.44 per-tile; unchained
+    # 12.93 vs 12.36 — tools/ab_stream.py). --pertile-kernels keeps the
+    # per-tile family for comparison runs.
+    stream_kernels = _stream_kernels()
     # Budget sizing: the workload EVOLVES under Adam — tools/probe_budgets.py
     # (generous budgets, no dropping) shows bin_valid peaking at 1.36M around
     # step 3 before decaying to ~1.23M by step 64. A tighter 1.15M capacity
@@ -383,7 +395,7 @@ def bench_densify():
     teacher = bench_scene(n, seed=7)
     t_cfg = RasterConfig(
         max_tiles_per_gaussian=12, bin_capacity=1_600_000, use_pallas=True,
-        base_tiles=4, overflow_capacity=n,
+        base_tiles=4, overflow_capacity=n, pallas_stream=_stream_kernels(),
     )
     t_render = jax.jit(
         lambda c: render_tiled(teacher, c, t_cfg, active_sh_degree=0).image
@@ -409,6 +421,7 @@ def bench_densify():
     raster_cfg = RasterConfig(
         max_tiles_per_gaussian=12, bin_capacity=2_500_000, use_pallas=True,
         base_tiles=4, overflow_capacity=2_500_000,
+        pallas_stream=_stream_kernels(),
     )
     trainer = GaussianSplatTrainer(
         cameras=cams, images=gts,
@@ -516,6 +529,7 @@ def _quality_scene(n_teacher: int, width: int, height: int, n_views: int,
     render_cfg = RasterConfig(
         max_tiles_per_gaussian=12, use_pallas=use_pallas, base_tiles=4,
         overflow_capacity=n_teacher,
+        pallas_stream=use_pallas and _stream_kernels(),
     )
     render = jax.jit(
         lambda c: render_tiled(teacher, c, render_cfg, active_sh_degree=0).image
@@ -605,6 +619,7 @@ def bench_quality():
     raster_cfg = RasterConfig(
         max_tiles_per_gaussian=12, bin_capacity=1_200_000, use_pallas=True,
         base_tiles=4, overflow_capacity=1_000_000,
+        pallas_stream=_stream_kernels(),
     )
     trainer = GaussianSplatTrainer(
         cameras=train_cams, images=train_imgs, points=pts, colors=cols,
@@ -799,6 +814,7 @@ def bench_quality_admm():
     raster_cfg = RasterConfig(
         max_tiles_per_gaussian=12, bin_capacity=pool, use_pallas=not n_cpu,
         base_tiles=4, overflow_capacity=max(pool - 200_000, 150_000),
+        pallas_stream=(not n_cpu) and _stream_kernels(),
     )
     admm_cfg = AdmmConfig(consensus_interval=200, chain_steps=25)
     mesh = Mesh(np.asarray(jax.devices()[:b]), ("block",))

@@ -139,7 +139,13 @@ def _raster_config(config):
     use_pallas = pipe.get("use_pallas", None)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    kw = {}
+    # Flat chunk-stream kernels are the production default where Pallas is
+    # on (chained headline 13.03 vs 12.44 it/s — docs/performance.md);
+    # pipeline.pallas_stream: false keeps the per-tile family.
+    stream = pipe.get("pallas_stream", None)
+    if stream is None:
+        stream = bool(use_pallas)
+    kw = {"pallas_stream": bool(stream)}
     if pipe.get("tile_batch") is not None:
         kw["tile_batch"] = int(pipe.get("tile_batch"))
     if pipe.get("chunk") is not None:
