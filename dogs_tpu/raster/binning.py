@@ -116,22 +116,46 @@ def build_tile_bins(
     sy0 = jnp.clip(cty - bh // 2, ty0, jnp.maximum(ty1 - bh, ty0))
 
     def cull(tix, tiy, mux, muy, a, b, c, opa, valid):
-        """Taming-3DGS style per-tile culling: max achievable alpha inside
-        the tile must exceed 1/255. Closest point of the tile's pixel rect
-        to the Gaussian center bounds the quadratic from below. All args
-        broadcast elementwise: per-gaussian (1, N) rows against (mta, N)
-        tiles, or flat per-slot (P,) against (P,) tiles."""
+        """Taming-3DGS style per-tile culling (rasterizer_impl.cu:120-190):
+        max achievable alpha inside the tile must exceed 1/255 — EXACT here,
+        not a clamped-point bound. Alpha is only ever evaluated at pixel
+        centers (tiled.py:_tile_pixels puts them at integer + 0.5), and
+        q(d) = 0.5(a dx^2 + c dy^2) + b dx dy is convex (det > 0 enforced at
+        projection), so its minimum over the tile's pixel-center rect is 0
+        when the splat center lies inside, else the min over the four edges
+        — each a closed-form 1-D quadratic clamp. Strictly tighter than the
+        clamped-point + axis-aligned bound it replaces (which under-counted
+        q for rotated splats, b != 0, and used the full-pixel rect instead
+        of the half-pixel-inset center rect). Render-neutral by construction:
+        the blend masks per-pixel alpha < ALPHA_MIN to zero, so any tile
+        whose EXACT max alpha is below the threshold contributes nothing.
+        All args broadcast elementwise: per-gaussian (1, N) rows against
+        (mta, N) tiles, or flat per-slot (P,) against (P,) tiles."""
         px0 = tix.astype(jnp.float32) * tile_size
         py0 = tiy.astype(jnp.float32) * tile_size
-        dx = jnp.clip(mux, px0, px0 + tile_size - 1) - mux
-        dy = jnp.clip(muy, py0, py0 + tile_size - 1) - muy
-        # Evaluate at the clamped point; conservative because the true
-        # minimizer of the quadratic over the rect may differ when b != 0 —
-        # pad by evaluating the axis-aligned bound too.
-        q1 = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
-        q2 = 0.5 * (a * dx * dx + c * dy * dy) - jnp.abs(b * dx * dy)
-        q = jnp.maximum(jnp.minimum(q1, q2), 0.0)
-        return valid & (opa * jnp.exp(-q) >= ALPHA_MIN)
+        dxl = px0 + 0.5 - mux
+        dxu = px0 + (tile_size - 0.5) - mux
+        dyl = py0 + 0.5 - muy
+        dyu = py0 + (tile_size - 0.5) - muy
+        ae = jnp.maximum(a, 1e-12)
+        ce = jnp.maximum(c, 1e-12)
+
+        def q(dx, dy):
+            return 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+
+        def edge_x(d):  # dx pinned to an edge, minimize the 1-D quadratic
+            return q(d, jnp.clip(-b * d / ce, dyl, dyu))
+
+        def edge_y(d):
+            return q(jnp.clip(-b * d / ae, dxl, dxu), d)
+
+        qmin = jnp.minimum(
+            jnp.minimum(edge_x(dxl), edge_x(dxu)),
+            jnp.minimum(edge_y(dyl), edge_y(dyu)),
+        )
+        inside = (dxl <= 0.0) & (dxu >= 0.0) & (dyl <= 0.0) & (dyu >= 0.0)
+        qmin = jnp.where(inside, 0.0, jnp.maximum(qmin, 0.0))
+        return valid & (opa * jnp.exp(-qmin) >= ALPHA_MIN)
 
     # Pack (tile, depth) into ONE int32 sort key: tile in the top bits, the
     # top `depth_bits` of the positive-float bit pattern below (positive f32

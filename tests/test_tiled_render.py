@@ -245,3 +245,59 @@ def test_tiled_jits():
     f = jax.jit(lambda p: render_tiled(p, cam, CFG, active_sh_degree=2).image)
     img = f(params)
     assert np.isfinite(np.asarray(img)).all()
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+def test_exact_tile_cull_safety_and_render_neutrality(seed):
+    """The per-tile max-alpha cull claims to be EXACT over pixel centers
+    (binning.py cull): (a) safety — every candidate it drops must have
+    brute-force max alpha over the tile's pixel centers below ALPHA_MIN,
+    so culling can never change a rendered pixel; (b) neutrality — the
+    rendered image with culling on equals culling off to 1-2 ULP (the
+    blend masks sub-ALPHA_MIN alphas to zero either way; the residual is
+    reduction-order noise — a different entry count regroups XLA's tree
+    reductions)."""
+    from dogs_tpu.raster.projection import ALPHA_MIN
+
+    params, cam = random_scene(n=96, seed=seed)
+    proj = project_gaussians(params, cam, active_sh_degree=2)
+    kw = dict(
+        tile_size=CFG.tile_size,
+        max_tiles_per_gaussian=CFG.max_tiles_per_gaussian,
+    )
+    culled = build_tile_bins(proj, cam.height, cam.width, tile_culling=True, **kw)
+    full = build_tile_bins(proj, cam.height, cam.width, tile_culling=False, **kw)
+    m_cull = np.asarray(bins_membership(culled, params.capacity))
+    m_full = np.asarray(bins_membership(full, params.capacity))
+    # Culling only removes candidates, never adds.
+    assert not (m_cull & ~m_full).any()
+
+    ts = CFG.tile_size
+    n_tiles_x = -(-cam.width // ts)
+    means = np.asarray(proj.means2d)
+    conic = np.asarray(proj.conic)
+    opa = np.asarray(proj.opacity)
+    vis = np.asarray(proj.radius) > 0
+    dropped = np.argwhere(m_full & ~m_cull)
+    assert len(dropped) > 0  # rotated splats: the cull must actually bite
+    for t, g in dropped:
+        if not vis[g]:
+            continue
+        tix, tiy = t % n_tiles_x, t // n_tiles_x
+        px = tix * ts + 0.5 + np.arange(ts)[None, :]
+        py = tiy * ts + 0.5 + np.arange(ts)[:, None]
+        dx = px - means[g, 0]
+        dy = py - means[g, 1]
+        a, b, c = conic[g]
+        q = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+        max_alpha = opa[g] * np.exp(-np.maximum(q, 0.0).min())
+        assert max_alpha < ALPHA_MIN, (t, g, max_alpha)
+
+    img_cull = render_tiled(params, cam, CFG, active_sh_degree=2).image
+    import dataclasses
+
+    cfg_nocull = dataclasses.replace(CFG, tile_culling=False)
+    img_full = render_tiled(params, cam, cfg_nocull, active_sh_degree=2).image
+    np.testing.assert_allclose(
+        np.asarray(img_cull), np.asarray(img_full), atol=5e-7, rtol=0
+    )
