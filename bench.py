@@ -333,6 +333,8 @@ def main():
     import sys
 
     chain = 1 if "--no-chain" in sys.argv else 8
+    if "--chain-steps" in sys.argv:  # composite A/B knob
+        chain = int(sys.argv[sys.argv.index("--chain-steps") + 1])
     # Kernel family: the flat chunk-stream kernels are the headline default
     # (chained A/B on the chip: 13.03 it/s vs 12.44 per-tile; unchained
     # 12.93 vs 12.36 — tools/ab_stream.py). --pertile-kernels keeps the
@@ -344,8 +346,11 @@ def main():
     # measures 12.4 it/s but with ~40k entries silently dropped through the
     # whole timed window — exactly the silent-cap flattery docs/performance.md
     # forbids. 1.4M covers the evolved peak with 3% headroom (truncation=0).
+    bin_capacity = 1_400_000
+    if "--bin-capacity" in sys.argv:  # composite A/B knob
+        bin_capacity = int(sys.argv[sys.argv.index("--bin-capacity") + 1])
     its, truncation = _measure(
-        N_GAUSSIANS, 16, 48, bin_capacity=1_400_000, chain_steps=chain,
+        N_GAUSSIANS, 16, 48, bin_capacity=bin_capacity, chain_steps=chain,
         pallas_stream=stream_kernels,
     )
     print(

@@ -80,7 +80,10 @@ class RasterConfig:
     # Flat chunk-stream kernels (pallas_stream.py): one while_loop walks the
     # whole sorted stream instead of per-tile loops — kills the per-TILE
     # fixed cost the per-tile kernels pay (loop entry + exposed chunk-0 DMA
-    # wait). Keeps identical numerics; A/B flag until measured everywhere.
+    # wait). Identical numerics; PRODUCTION DEFAULT where Pallas is on
+    # (utils.py:_raster_config flips this with use_pallas; chained A/B on
+    # the chip: 13.03 vs 12.44 it/s — docs/performance.md). False here so
+    # ad-hoc RasterConfig() still means the per-tile family explicitly.
     pallas_stream: bool = False
     # Two-tier candidate budget (binning.py): every gaussian owns base_tiles
     # key slots, bigger rects draw from a shared overflow pool. None = flat
