@@ -73,6 +73,16 @@ class AdmmConfig:
     # (one cheap VPU multiply that fuses into the loss). "float32" opts out
     # (e.g. HDR/EXR sources).
     gt_dtype: str = "uint8"
+    # Host-RAM budget for the streamed-GT LRU cache (decoded/resized/
+    # encoded images keyed by (block, index, res)). The per-chunk
+    # f32->uint8 encode costs ~30M clip+rint element ops per staged chunk
+    # and runs ON THE DISPATCH THREAD — on slow hosts it starves the
+    # double-buffered H2D overlap the streaming path depends on. Caching
+    # the encoded bytes mirrors the reference's semantics (its task queue
+    # keeps the whole decoded dataset in host RAM,
+    # conerf/base/task_queue.py); rubble-sized blocks (~414 imgs x ~3 MB
+    # uint8 ≈ 1.2 GB) fit many times over. 0 disables.
+    gt_stream_cache_max_bytes: int = 8 << 30
     over_relaxation_coeff: float = 0.5
     alpha_xyz: float = 1e5
     alpha_fdc: float = 1e4

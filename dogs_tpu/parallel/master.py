@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+from collections import OrderedDict
 from typing import Sequence
 
 import jax
@@ -275,6 +276,9 @@ class MasterTrainer:
         self._build_steps()
         self._cam_order = [[] for _ in range(b)]
         self._staged = None  # prefetched (key, (camera, gt)) chunk
+        # Streamed-GT host cache: (block, index, res) -> encoded array.
+        self._stream_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._stream_cache_bytes = 0
 
     def _commit_state(self):
         """Commit the host-assembled state to the mesh's block sharding BEFORE
@@ -407,17 +411,7 @@ class MasterTrainer:
                     cam = cam.downsample(res)
                 cams.append(cam)
                 if not from_pool:
-                    gt = np.asarray(self.block_images[kb][i], np.float32)
-                    if res > 1:
-                        from dogs_tpu.data.dataset import resize_image
-
-                        gt = resize_image(gt, cam.width, cam.height)
-                    # Streamed chunks ride H2D at the configured gt dtype
-                    # (uint8 default: 4x fewer transfer bytes; the step
-                    # decodes in-device).
-                    if self.admm_cfg.gt_dtype == "uint8":
-                        gt = _encode_gt(gt, np.uint8)
-                    gts.append(gt)
+                    gts.append(self._gt_stream_cached(kb, i, res, cam))
             cam_steps.append(jax.tree.map(lambda *xs: np.stack(xs), *cams))
             if not from_pool:
                 gt_steps.append(np.stack(gts))
@@ -427,6 +421,39 @@ class MasterTrainer:
         if from_pool:
             return camera, self._gt_pool
         return camera, jax.device_put(np.stack(gt_steps), shard)
+
+    def _gt_stream_cached(self, kb: int, i: int, res: int, cam) -> np.ndarray:
+        """Host-side GT for a streamed chunk — decoded, resized to `res`,
+        and encoded at admm.gt_dtype (uint8 default: 4x fewer H2D bytes;
+        the step decodes in-device) — behind a byte-budgeted LRU. The
+        per-chunk f32->uint8 encode (clip+rint over ~30M elements for a
+        10-step chunk at 1152x864) runs on the dispatch thread, which is
+        exactly the thread the double-buffered H2D overlap needs free; on
+        1-core hosts it measured as the streaming path's dominant cost.
+        After one epoch every fetch is a cache hit (the reference holds the
+        decoded dataset in host RAM the same way, conerf/base/task_queue.py
+        — and for LazyImageList sources this also skips the re-decode)."""
+        key = (kb, i, res)
+        hit = self._stream_cache.get(key)
+        if hit is not None:
+            self._stream_cache.move_to_end(key)
+            return hit
+        gt = np.asarray(self.block_images[kb][i], np.float32)
+        if res > 1:
+            from dogs_tpu.data.dataset import resize_image
+
+            gt = resize_image(gt, cam.width, cam.height)
+        if self.admm_cfg.gt_dtype == "uint8":
+            gt = _encode_gt(gt, np.uint8)
+        budget = self.admm_cfg.gt_stream_cache_max_bytes
+        if budget <= 0 or gt.nbytes > budget:
+            return gt
+        self._stream_cache[key] = gt
+        self._stream_cache_bytes += gt.nbytes
+        while self._stream_cache_bytes > budget:
+            _, old = self._stream_cache.popitem(last=False)
+            self._stream_cache_bytes -= old.nbytes
+        return gt
 
     def _next_chunk(self, target: int):
         res = self.training_resolution(self.step + 1)

@@ -227,3 +227,41 @@ def test_gt_uint8_roundtrip_exact():
     np.testing.assert_array_equal(enc, np.arange(256, dtype=np.uint8).reshape(16, 16))
     dec = enc.astype(np.float32) / 255.0
     np.testing.assert_allclose(dec, im, atol=1e-7)
+
+
+def test_gt_stream_cache_identity_and_eviction(setup):
+    """The streamed-GT host LRU (master._gt_stream_cached) must return
+    byte-identical arrays warm vs cold, and honor its byte budget by
+    evicting least-recently-used entries (admm.gt_stream_cache_max_bytes)."""
+    m = _fresh_master(setup, admm_kw=dict(gt_resident=False))
+    cam = m.block_cameras[0][0]
+    cold = m._gt_stream_cached(0, 0, 1, cam)
+    assert m._stream_cache_bytes == cold.nbytes
+    warm = m._gt_stream_cached(0, 0, 1, cam)
+    assert warm is cold  # cache hit returns the stored array
+    np.testing.assert_array_equal(warm, cold)
+
+    # Budget that fits exactly two images: the third fetch evicts the LRU.
+    # (Tiny fixture blocks may hold one image each — span blocks for three
+    # distinct keys; every image is the same 48x48 so the budget math holds.)
+    m2 = _fresh_master(
+        setup,
+        admm_kw=dict(gt_resident=False,
+                     gt_stream_cache_max_bytes=2 * cold.nbytes),
+    )
+    a = m2._gt_stream_cached(0, 0, 1, cam)
+    m2._gt_stream_cached(1, 0, 1, cam)
+    m2._gt_stream_cached(0, 0, 1, cam)  # refresh (0,0) -> (1,0) becomes LRU
+    m2._gt_stream_cached(2, 0, 1, cam)
+    assert (1, 0, 1) not in m2._stream_cache
+    assert (0, 0, 1) in m2._stream_cache and (2, 0, 1) in m2._stream_cache
+    assert m2._stream_cache_bytes <= 2 * cold.nbytes
+    assert m2._gt_stream_cached(0, 0, 1, cam) is a
+
+    # Budget 0 disables caching entirely.
+    m3 = _fresh_master(
+        setup,
+        admm_kw=dict(gt_resident=False, gt_stream_cache_max_bytes=0),
+    )
+    m3._gt_stream_cached(0, 0, 1, cam)
+    assert not m3._stream_cache and m3._stream_cache_bytes == 0
