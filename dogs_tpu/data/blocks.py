@@ -31,13 +31,33 @@ def obb_transform_from_positions(positions: np.ndarray) -> np.ndarray:
 
     Equivalent role to world_to_obb_transform.npy (load_colmap.py:402-450).
     Assumes the scene is up-normalized (z approx up) — valid after
-    similarity normalization.
+    similarity normalization. When the world-xy camera spread is DEGENERATE
+    (a planar rig whose plane is NOT world-xy — e.g. a ring in xz — leaves
+    one world-xy axis with ~zero variance), the 2D assumption would make
+    the OBB minor axis the rig's normal: every 2D bound in that axis
+    collapses to +-pad around the camera plane and the fusion crop then
+    deletes scene content (measured: 21%% of a synthetic ring scene's
+    INITIAL points fell outside the 1x1 origin box). Fall back to full 3D
+    PCA and take the two largest principal axes as the OBB plane.
     """
+    center3 = positions.mean(axis=0)
     xy = positions[:, :2]
     center = xy.mean(axis=0)
     d = xy - center
     cov = d.T @ d / max(len(d), 1)
-    _, vecs = np.linalg.eigh(cov)
+    vals, vecs = np.linalg.eigh(cov)
+    if vals[0] < 1e-6 * max(vals[1], 1e-12):
+        d3 = positions - center3
+        cov3 = d3.T @ d3 / max(len(d3), 1)
+        _, vecs3 = np.linalg.eigh(cov3)
+        a1 = vecs3[:, -1]  # largest principal axis
+        a2 = vecs3[:, -2]
+        a3 = np.cross(a1, a2)
+        R3 = np.stack([a1, a2, a3], axis=0)  # rows = OBB axes
+        T = np.eye(4)
+        T[:3, :3] = R3
+        T[:3, 3] = -R3 @ center3
+        return T
     # Principal axis last from eigh; build right-handed 2D rotation.
     major = vecs[:, -1]
     minor = np.array([-major[1], major[0]])
@@ -155,14 +175,41 @@ def points_in_bounds2d(
 
 @dataclasses.dataclass
 class BlockPartition:
-    """Full partition result for a scene."""
+    """Full partition result for a scene.
+
+    `bounds`/`bounds_expanded` come from the CAMERA grid (image
+    assignment); `point_bounds`/`point_bounds_expanded` from the POINT
+    grid. The reference keeps both (load_colmap.py:422-429 writes camera
+    boxes + point boxes into one table) and CROPS FUSION BY THE POINT
+    BOXES (master_gaussian_trainer.py:54-71 uses point_bboxes): scene
+    content routinely extends past the camera hull, and cropping merged
+    Gaussians to camera-derived boxes deletes real content (measured
+    -8 dB fused val on the synthetic ring scene). When the point boxes
+    are absent (old manifests), callers fall back to the camera boxes."""
 
     num_blocks: int
     transform: np.ndarray  # (4,4) world->OBB
     camera_labels: np.ndarray  # (n_cams,)
-    bounds: np.ndarray  # (k, 2, 2) origin boxes (OBB xy)
-    bounds_expanded: np.ndarray  # (k, 2, 2) overlap boxes
+    bounds: np.ndarray  # (k, 2, 2) CAMERA-grid origin boxes (OBB xy)
+    bounds_expanded: np.ndarray  # (k, 2, 2) camera overlap boxes
     point_masks: list[np.ndarray]  # per block (P,) bool over the global cloud
+    point_bounds: np.ndarray | None = None  # (k, 2, 2) POINT-grid origin boxes
+    point_bounds_expanded: np.ndarray | None = None  # (k, 2, 2)
+
+    def crop_bounds(self, k: int) -> np.ndarray:
+        """Origin box for the fusion de-overlap crop (point grid when
+        available — reference parity)."""
+        src = self.point_bounds if self.point_bounds is not None else self.bounds
+        return src[k]
+
+    def select_bounds(self, k: int) -> np.ndarray:
+        """Expanded box for post-fusion block re-selection."""
+        src = (
+            self.point_bounds_expanded
+            if self.point_bounds_expanded is not None
+            else self.bounds_expanded
+        )
+        return src[k]
 
 
 def partition_scene(
@@ -204,8 +251,29 @@ def partition_scene(
     else:
         labels, bounds = split_compact_grid(cams_obb, mx, my)
     bounds_exp = expand_bounds(bounds, np.asarray(bbox_scale_factor))
+
+    # POINT-grid boxes (cluster_points_in_grid, load_colmap.py:141-177):
+    # the same equal-count grid over the POINT cloud, outlier-clipped at
+    # the reference's p0/p1 quantiles so one stray SfM point can't inflate
+    # a block. These carry the fusion crop / re-selection; the camera
+    # boxes above only assign images. Grid method only: a point-grid cell's
+    # index corresponds spatially to the camera grid's cell k, but NOT to
+    # an arbitrary kmeans/spectral cluster label — those keep the camera
+    # cluster boxes (and their fusion crop stays camera-derived).
+    pts_obb = np.asarray(apply_transform(points, T))
+    if len(pts_obb) and method == "grid":
+        lo = np.quantile(pts_obb[:, :2], 1e-5, axis=0)
+        hi = np.quantile(pts_obb[:, :2], 0.99999, axis=0)
+        clipped = pts_obb[
+            (pts_obb[:, 0] >= lo[0]) & (pts_obb[:, 0] <= hi[0])
+            & (pts_obb[:, 1] >= lo[1]) & (pts_obb[:, 1] <= hi[1])
+        ]
+        _, pbounds = split_compact_grid(clipped, mx, my)
+    else:
+        pbounds = bounds.copy()
+    pbounds_exp = expand_bounds(pbounds, np.asarray(bbox_scale_factor))
     masks = [
-        points_in_bounds2d(points, bounds_exp[k], T) for k in range(mx * my)
+        points_in_bounds2d(points, pbounds_exp[k], T) for k in range(mx * my)
     ]
     return BlockPartition(
         num_blocks=mx * my,
@@ -214,6 +282,8 @@ def partition_scene(
         bounds=bounds,
         bounds_expanded=bounds_exp,
         point_masks=masks,
+        point_bounds=pbounds,
+        point_bounds_expanded=pbounds_exp,
     )
 
 

@@ -150,13 +150,24 @@ def fuse_local_gaussians(
         xyz = np.asarray(m.params.xyz)
         # Keep only Gaussians inside this block's ORIGIN bbox (master crops
         # each block's model to its non-overlapping cell before fusing).
+        # POINT-grid boxes when the partition has them: the reference crops
+        # by point_bboxes, not camera boxes (master_gaussian_trainer.py:54-71)
+        # — camera-derived boxes delete content past the camera hull.
         inside = np.asarray(
             points_in_bounds2d(
-                jnp.asarray(xyz), jnp.asarray(partition.bounds[k]),
+                jnp.asarray(xyz), jnp.asarray(partition.crop_bounds(k)),
                 jnp.asarray(partition.transform),
             )
         )
         keep = alive & inside
+        # Parity telemetry with the reference's "Before/After removing
+        # points" prints (master_gaussian_trainer.py:56-71): splats that
+        # drifted outside the block's ORIGIN bbox are dropped here, and a
+        # large drop is a partition-bounds problem, not normal de-overlap.
+        logger.info(
+            "fusion crop block %d: %d alive -> %d inside origin bbox",
+            k, int(alive.sum()), int(keep.sum()),
+        )
         fused["xyz"].append(xyz[keep])
         fused["feat_dc"].append(np.asarray(m.params.feat_dc)[keep])
         fused["feat_rest"].append(np.asarray(m.params.feat_rest)[keep])
@@ -185,7 +196,7 @@ def fuse_local_gaussians(
     for k in range(partition.num_blocks):
         in_exp = np.array(
             points_in_bounds2d(
-                g_xyz, jnp.asarray(partition.bounds_expanded[k]),
+                g_xyz, jnp.asarray(partition.select_bounds(k)),
                 jnp.asarray(partition.transform),
             )
         )
@@ -844,12 +855,18 @@ def load_manifest_partition(
     blocks = [load_block(block_dir(scene_root, mx, my, k)) for k in range(b)]
     out_root = os.path.dirname(block_dir(scene_root, mx, my, 0))
     transform = np.load(os.path.join(out_root, "world_to_obb_transform.npy"))
-    bounds = np.loadtxt(
-        os.path.join(out_root, "bounding_boxes_origin.txt")
-    ).reshape(b, 2, 2)
-    bounds_exp = np.loadtxt(
-        os.path.join(out_root, "bounding_boxes.txt")
-    ).reshape(b, 2, 2)
+
+    def read_boxes(name):
+        """Reference table format (load_colmap.py:425-429): the first b
+        rows are CAMERA boxes, the last b rows POINT boxes. Old manifests
+        carry only the camera rows — point boxes fall back to None."""
+        rows = np.loadtxt(os.path.join(out_root, name)).reshape(-1, 2, 2)
+        if rows.shape[0] == 2 * b:
+            return rows[:b], rows[b:]
+        return rows.reshape(b, 2, 2), None
+
+    bounds, pbounds = read_boxes("bounding_boxes_origin.txt")
+    bounds_exp, pbounds_exp = read_boxes("bounding_boxes.txt")
     partition = BlockPartition(
         num_blocks=b,
         transform=transform,
@@ -859,6 +876,8 @@ def load_manifest_partition(
         bounds=bounds,
         bounds_expanded=bounds_exp,
         point_masks=[],
+        point_bounds=pbounds,
+        point_bounds_expanded=pbounds_exp,
     )
     return blocks, partition
 

@@ -65,13 +65,23 @@ def preprocess_synthetic(config, scene_name: str) -> None:
     out_root = os.path.dirname(block_dir(root, mx, my, 0))
     os.makedirs(out_root, exist_ok=True)
     np.save(os.path.join(out_root, "world_to_obb_transform.npy"), part.transform)
+    # Reference table format (load_colmap.py:425-429): camera boxes first,
+    # point boxes after — fusion crops by the POINT half.
+    pb = part.point_bounds if part.point_bounds is not None else part.bounds
+    pbe = (
+        part.point_bounds_expanded
+        if part.point_bounds_expanded is not None
+        else part.bounds_expanded
+    )
     np.savetxt(
         os.path.join(out_root, "bounding_boxes_origin.txt"),
-        part.bounds.reshape(part.num_blocks, -1),
+        np.concatenate([part.bounds, pb]).reshape(2 * part.num_blocks, -1),
     )
     np.savetxt(
         os.path.join(out_root, "bounding_boxes.txt"),
-        part.bounds_expanded.reshape(part.num_blocks, -1),
+        np.concatenate([part.bounds_expanded, pbe]).reshape(
+            2 * part.num_blocks, -1
+        ),
     )
     for k in range(part.num_blocks):
         sel = [i for i, lbl in enumerate(part.camera_labels) if lbl == k]
@@ -124,13 +134,23 @@ def preprocess_scene(config, scene: str) -> None:
     out_root = os.path.dirname(block_dir(root, mx, my, 0))
     os.makedirs(out_root, exist_ok=True)
     np.save(os.path.join(out_root, "world_to_obb_transform.npy"), part.transform)
+    # Reference table format (load_colmap.py:425-429): camera boxes first,
+    # point boxes after — fusion crops by the POINT half.
+    pb = part.point_bounds if part.point_bounds is not None else part.bounds
+    pbe = (
+        part.point_bounds_expanded
+        if part.point_bounds_expanded is not None
+        else part.bounds_expanded
+    )
     np.savetxt(
         os.path.join(out_root, "bounding_boxes_origin.txt"),
-        part.bounds.reshape(part.num_blocks, -1),
+        np.concatenate([part.bounds, pb]).reshape(2 * part.num_blocks, -1),
     )
     np.savetxt(
         os.path.join(out_root, "bounding_boxes.txt"),
-        part.bounds_expanded.reshape(part.num_blocks, -1),
+        np.concatenate([part.bounds_expanded, pbe]).reshape(
+            2 * part.num_blocks, -1
+        ),
     )
 
     for k in range(part.num_blocks):

@@ -359,3 +359,53 @@ def test_chunk_len_respects_event_boundaries(scene):
     # log cadence is an event too; end-of-training bounds the chunk
     assert plain._chunk_len(95, 10_000, 100, 0, 0) == 6
     assert plain._chunk_len(9_995, 10_000, 0, 0, 0) == 6
+
+
+def test_partition_point_bounds_cover_content():
+    """The fusion crop runs against POINT-grid boxes, not camera boxes
+    (reference: master_gaussian_trainer.py:54-71 crops by point_bboxes from
+    cluster_points_in_grid). Regression for the measured -8 dB fused-val
+    cliff: a planar camera ring whose plane is NOT world-xy (y-up scenes)
+    made the OBB minor axis the rig's normal, and camera-derived bounds
+    then cropped 21% of the INITIAL cloud. Point boxes must cover ~all
+    points, and every point must land in some block's expanded mask."""
+    rng = np.random.RandomState(3)
+    ang = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+    # Ring in the XZ plane (y is up): world-xy camera spread is degenerate.
+    cam_pos = np.stack(
+        [5.0 * np.cos(ang), np.full(24, -0.8), 5.0 * np.sin(ang)], 1
+    )
+    points = rng.randn(4000, 3) * np.array([1.5, 1.0, 1.5])
+    part = partition_scene(cam_pos, points, mx=2, my=2)
+    assert part.point_bounds is not None
+
+    from dogs_tpu.data.blocks import points_in_bounds2d
+
+    in_origin_union = np.zeros(len(points), bool)
+    in_masks = np.zeros(len(points), bool)
+    for k in range(4):
+        in_origin_union |= np.asarray(
+            points_in_bounds2d(points, part.point_bounds[k], part.transform)
+        )
+        in_masks |= np.asarray(part.point_masks[k])
+    # p0/p1 = 1e-5/0.99999 quantile clipping may shave a handful of
+    # outliers; the union must still cover essentially the whole cloud.
+    assert in_origin_union.mean() > 0.995, in_origin_union.mean()
+    assert in_masks.mean() > 0.995, in_masks.mean()
+    # Content extending far past the camera hull (city blocks seen from a
+    # small central rig): camera-derived boxes CANNOT cover it, point
+    # boxes must — this is why the fusion crop uses the point grid.
+    cam_pos2 = rng.rand(30, 3) * 2.0 - 1.0
+    points2 = rng.randn(4000, 3) * 6.0
+    part2 = partition_scene(cam_pos2, points2, mx=2, my=2)
+    in_cam2 = np.zeros(len(points2), bool)
+    in_pts2 = np.zeros(len(points2), bool)
+    for k in range(4):
+        in_cam2 |= np.asarray(
+            points_in_bounds2d(points2, part2.bounds[k], part2.transform)
+        )
+        in_pts2 |= np.asarray(
+            points_in_bounds2d(points2, part2.point_bounds[k], part2.transform)
+        )
+    assert in_pts2.mean() > 0.995, in_pts2.mean()
+    assert in_cam2.mean() < 0.5, in_cam2.mean()
