@@ -829,6 +829,16 @@ class MasterTrainer:
         return _fused_model_state(fused)
 
     def validate(self, cameras, images) -> dict:
+        """Held-out PSNR of the FUSED global model — the reference's core
+        quality claim is exactly this validate-time fusion
+        (conerf/trainers/master_gaussian_trainer.py:730-744). Color-corrects
+        renders before metrics like the evaluator does
+        (gaussian_splatting_evaluator.py:294-299) so the number is
+        apples-to-apples with GaussianSplatTrainer.validate()."""
+        import jax.numpy as jnp
+
+        from dogs_tpu.eval.metrics import color_correct
+
         model = self.global_model()
         psnrs = []
         for cam, gt in zip(cameras, images):
@@ -836,7 +846,8 @@ class MasterTrainer:
                 model.params, cam, self.raster_cfg, alive=model.alive,
                 active_sh_degree=self.cfg.max_sh_degree,
             )
-            img = np.clip(np.asarray(out.image), 0, 1)
+            img = jnp.clip(out.image, 0.0, 1.0)
+            img = np.asarray(color_correct(img, jnp.asarray(gt, jnp.float32)))
             mse = float(np.mean((img - np.asarray(gt)) ** 2))
             psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
         return {"val_psnr": float(np.mean(psnrs)), "num_points": int(model.num_alive)}
