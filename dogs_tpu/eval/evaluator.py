@@ -30,6 +30,21 @@ from dogs_tpu.raster.tiled import RasterConfig, render_tiled
 logger = logging.getLogger(__name__)
 
 
+def _device_peak_memory_mb() -> float | None:
+    """Peak device memory in MB, or None when the backend doesn't report it
+    (the CPU backend returns no allocator stats). TPU reports
+    peak_bytes_in_use via device.memory_stats()."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:  # pragma: no cover - backend without stats API
+        return None
+    if not stats or "peak_bytes_in_use" not in stats:
+        return None
+    return round(stats["peak_bytes_in_use"] / (1024.0 * 1024.0), 1)
+
+
 @dataclasses.dataclass
 class EvalConfig:
     output_dir: str = "eval"
@@ -95,6 +110,11 @@ class GaussianSplatEvaluator:
                 "ssim": float(ssim(jnp.asarray(pred), jnp.asarray(gt))),
                 "render_time": render_time,
             }
+            peak = _device_peak_memory_mb()
+            if peak is not None:
+                # Per-image peak device memory, the reference's per-image
+                # peak-VRAM stat (gaussian_splatting_evaluator.py:267-280).
+                entry["memory"] = peak
             if self.cfg.compute_lpips:
                 val, calibrated = lpips(jnp.asarray(pred), jnp.asarray(gt))
                 key = "lpips" if calibrated else "lpips_uncalibrated"

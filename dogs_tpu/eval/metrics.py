@@ -38,17 +38,42 @@ def ssim(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 def color_correct(
     img: jnp.ndarray, ref: jnp.ndarray, num_iters: int = 5, eps: float = 0.5 / 255
 ) -> jnp.ndarray:
-    """Per-channel quadratic color warp fitted to the reference
-    (conerf/evaluators/evaluator.py:22-66): solve least squares over the
-    basis [img_c, img_c^2, 1] per channel, clipping to [eps, 1-eps]."""
-    out = []
-    for c in range(3):
-        x = img[..., c].reshape(-1)
-        y = ref[..., c].reshape(-1)
-        a = jnp.stack([x, x * x, jnp.ones_like(x)], axis=-1)
-        coef, *_ = jnp.linalg.lstsq(a, y, rcond=None)
-        out.append(jnp.clip(a @ coef, eps, 1.0 - eps))
-    return jnp.stack(out, axis=-1).reshape(img.shape)
+    """Full quadratic cross-channel color warp fitted to the reference image,
+    matching the semantics of conerf/evaluators/evaluator.py:22-66: the basis
+    is [img_c * img_{c..C} (upper-triangular quadratic), img, 1] (10 terms
+    for RGB), least-squares fitted per output channel with saturated pixels
+    masked out of the fit — saturated meaning outside [eps, 1-eps] in the
+    original input, the current estimate, or the reference. Because the
+    saturation set changes as the estimate updates, fit+apply repeats
+    num_iters times. Output is clipped to [0, 1] each iteration (so exactly
+    0/1 pixels are representable, unlike an [eps, 1-eps] clamp)."""
+    nc = img.shape[-1]
+    if ref.shape[-1] != nc:
+        raise ValueError(f"channel mismatch: img {nc} vs ref {ref.shape[-1]}")
+    orig = img.reshape(-1, nc)
+    ref_mat = ref.reshape(-1, nc)
+
+    def unclipped(z):
+        return (z >= eps) & (z <= 1.0 - eps)
+
+    mask0 = unclipped(orig)
+    cur = orig
+    for _ in range(num_iters):
+        basis = [cur[:, c : c + 1] * cur[:, c:] for c in range(nc)]
+        basis.append(cur)
+        basis.append(jnp.ones_like(cur[:, :1]))
+        a = jnp.concatenate(basis, axis=-1)
+        cols = []
+        for c in range(nc):
+            b = ref_mat[:, c]
+            m = mask0[:, c] & unclipped(cur[:, c]) & unclipped(b)
+            am = jnp.where(m[:, None], a, 0.0)
+            bm = jnp.where(m, b, 0.0)
+            w, *_ = jnp.linalg.lstsq(am, bm, rcond=-1)
+            cols.append(w)
+        warp = jnp.stack(cols, axis=-1)
+        cur = jnp.clip(a @ warp, 0.0, 1.0)
+    return cur.reshape(img.shape)
 
 
 # ---------------------------------------------------------------------------

@@ -524,7 +524,14 @@ class MasterTrainer:
                 self._staged = ((k2, res2), self._stage_chunk(k2, res2))
             self._host_events()
 
-        if not self.admm_enabled and self.step >= self.cfg.densify_end_iter:
+        if (
+            not self.admm_enabled
+            and self.admm_cfg.enable
+            and self.step >= self.cfg.densify_end_iter
+        ):
+            # admm.enable=false is the reference's supported fusion-only
+            # degenerate mode (master:686-688 returns before fusion; blocks
+            # train independently and validate() fuses fresh each call).
             self.fuse_and_enable_admm()
         elif self.admm_enabled:
             new_u, new_z, z, counts, primal, dual = self.consensus_step(
@@ -821,11 +828,29 @@ class MasterTrainer:
         )
 
     # ---- evaluation on the fused global model -------------------------------
-    def global_model(self) -> GaussianModelState:
+    def global_model(self, prune: bool | None = None) -> GaussianModelState:
         """Consensus-averaged global model for validation/export
-        (master's validate-time fusion, master:730-744)."""
+        (master's validate-time fusion, master:730-744).
+
+        `prune` opts into the post-merge importance prune. Default: prune in
+        fusion-only mode (admm.enable=false) — there the validate-time fuse
+        is the ONLY fusion, and the reference's fuse_local_gaussians always
+        runs prune_gaussians_after_merge (master:590-592); in ADMM mode the
+        blocks were already pruned at the phase boundary."""
+        if prune is None:
+            prune = not self.admm_cfg.enable and self.cfg.prune_percent > 0
         models = gather_block_models(self.state)
-        fused, _ = fuse_local_gaussians(models, self.partition)
+        if prune:
+            all_cams = [c for cams in self.block_cameras for c in cams]
+            fused, _ = fuse_local_gaussians(
+                models, self.partition,
+                prune_cameras=all_cams, raster_cfg=self.raster_cfg,
+                prune_percent=self.cfg.prune_percent,
+                prune_v_pow=self.cfg.prune_v_pow,
+                active_sh_degree=self.cfg.max_sh_degree,
+            )
+        else:
+            fused, _ = fuse_local_gaussians(models, self.partition)
         return _fused_model_state(fused)
 
     def validate(self, cameras, images) -> dict:
@@ -835,8 +860,6 @@ class MasterTrainer:
         renders before metrics like the evaluator does
         (gaussian_splatting_evaluator.py:294-299) so the number is
         apples-to-apples with GaussianSplatTrainer.validate()."""
-        import jax.numpy as jnp
-
         from dogs_tpu.eval.metrics import color_correct
 
         model = self.global_model()

@@ -229,3 +229,62 @@ def test_user_accounts_lock_api(server):
     st, _, _ = _post(f"{base}/api/models/uploads__mine", headers=hdr,
                      method="DELETE")
     assert st == 200
+
+
+def test_discover_and_serve_gaussian_ply(tmp_path):
+    """3DGS .ply exports are listed (with header-derived splat counts) and
+    served; COLMAP *_points.ply point clouds are excluded. Mirrors the
+    reference viewer's multi-format ingestion (webui/src/loaders/)."""
+    import jax.numpy as jnp
+
+    from dogs_tpu.core.gaussians import GaussianParams, inverse_sigmoid
+    from dogs_tpu.fields.io import save_colmap_ply, save_gaussian_ply
+
+    rng = np.random.RandomState(3)
+    n = 9
+    params = GaussianParams(
+        xyz=jnp.asarray(rng.randn(n, 3), jnp.float32),
+        feat_dc=jnp.asarray(rng.randn(n, 1, 3), jnp.float32),
+        feat_rest=jnp.zeros((n, 15, 3), jnp.float32),
+        log_scale=jnp.asarray(rng.randn(n, 3) * 0.1 - 3, jnp.float32),
+        quat=jnp.asarray(rng.randn(n, 4), jnp.float32),
+        logit_opacity=inverse_sigmoid(
+            jnp.asarray(rng.uniform(0.2, 0.9, (n, 1)), jnp.float32)
+        ),
+    )
+    d = tmp_path / "exp2" / "export"
+    d.mkdir(parents=True)
+    save_gaussian_ply(str(d / "model.ply"), params)
+    save_colmap_ply(str(d / "model_points.ply"), params)
+
+    models = discover_models(str(tmp_path))
+    assert "exp2__export__model.ply" in models
+    assert not any("model_points" in k for k in models)
+
+    srv = make_server(str(tmp_path), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        entries = json.loads(_get(f"{base}/api/models")[1])
+        ply = [e for e in entries if e["id"].endswith(".ply")]
+        assert ply and ply[0]["splats"] == n
+        st, body, _ = _get(f"{base}/api/models/exp2__export__model.ply")
+        assert st == 200 and body[:3] == b"ply"
+    finally:
+        srv.shutdown()
+
+
+def test_viewer_js_declares_ply_ingestion():
+    """Structural: the viewer detects the ply magic in setData and ships a
+    plyToSplat converter covering the exporter's property set (no JS runtime
+    in this image to execute it; byte semantics are pinned by
+    test_data_io.py's splat/ply golden tests)."""
+    import pathlib
+
+    src = (pathlib.Path(__file__).parent.parent
+           / "webui" / "static" / "viewer.js").read_text()
+    assert "plyToSplat" in src
+    assert "binary_little_endian" in src
+    for prop in ("f_dc_", "opacity", "scale_", "rot_0", "element vertex"):
+        assert prop in src, prop

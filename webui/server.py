@@ -55,8 +55,12 @@ _discover_cache: dict[str, tuple[float, dict]] = {}
 
 
 def discover_models(models_dir: str | os.PathLike) -> dict[str, Path]:
-    """Map model-id -> .splat path. Ids are the path under models_dir with
-    '/' replaced by '__' (exports live at out/<expname>/export/model.splat).
+    """Map model-id -> .splat/.ply path. Ids are the path under models_dir
+    with '/' replaced by '__' (exports live at out/<expname>/export/
+    model.splat). 3DGS .ply exports are listed too (ids keep their .ply
+    suffix; the viewer converts them client-side, mirroring the reference
+    viewer's multi-format loaders, webui/src/loaders/PlyLoader.js) —
+    excluding *_points.ply, which are COLMAP point clouds, not splats.
     Cached for a couple of seconds: the viewer issues many ranged requests
     per model load and each would otherwise re-walk the output tree."""
     key = str(models_dir)
@@ -72,8 +76,24 @@ def discover_models(models_dir: str | os.PathLike) -> dict[str, Path]:
         rel = p.relative_to(root)
         mid = "__".join(rel.with_suffix("").parts)
         out[mid] = p
+    for p in sorted(root.rglob("*.ply")):
+        if p.name.endswith("_points.ply"):
+            continue
+        rel = p.relative_to(root)
+        out["__".join(rel.parts)] = p
     _discover_cache[key] = (now, out)
     return out
+
+
+def _ply_vertex_count(path: Path) -> int:
+    """Read `element vertex N` from a ply header (header is ASCII, tiny)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(65536)
+        m = re.search(rb"element vertex (\d+)", head)
+        return int(m.group(1)) if m else 0
+    except OSError:
+        return 0
 
 
 class ViewerHandler(BaseHTTPRequestHandler):
@@ -157,8 +177,9 @@ class ViewerHandler(BaseHTTPRequestHandler):
         meta = self.db.models() if self.db else {}
         out = []
         for mid, p in models.items():
-            entry = {"id": mid, "bytes": p.stat().st_size,
-                     "splats": p.stat().st_size // 32}
+            n = (_ply_vertex_count(p) if p.suffix == ".ply"
+                 else p.stat().st_size // 32)
+            entry = {"id": mid, "bytes": p.stat().st_size, "splats": n}
             m = meta.get(mid)
             if m:
                 entry.update(

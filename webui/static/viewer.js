@@ -143,8 +143,11 @@ export class SplatViewer {
   }
 
   /* data: ArrayBuffer of 32-byte splat records (possibly a progressive
-   * prefix — exports are importance-sorted so prefixes are viewable). */
+   * prefix — exports are importance-sorted so prefixes are viewable), OR a
+   * standard 3DGS .ply (detected by magic, converted in plyToSplat). */
   setData(data) {
+    const m = new Uint8Array(data, 0, Math.min(4, data.byteLength));
+    if (m[0] === 112 && m[1] === 108 && m[2] === 121) data = plyToSplat(data);
     this.raw = new Uint8Array(data.slice(0, data.byteLength & ~31));
     this.count = this.raw.byteLength >> 5;
     const f = new Float32Array(this.raw.buffer, 0, this.count * 8);
@@ -279,6 +282,78 @@ export class SplatViewer {
     }, {passive: false});
     cv.addEventListener("contextmenu", (e) => e.preventDefault());
   }
+}
+
+/* -- 3DGS .ply ingestion --------------------------------------------------
+ * Converts the standard 3DGS ply layout the exporter writes
+ * (dogs_tpu/fields/io.py save_gaussian_ply: x y z nx ny nz f_dc_* f_rest_*
+ * opacity scale_* rot_*) into the viewer's 32-byte splat records, matching
+ * save_splat's activations: scale=exp, opacity=sigmoid, rgb=0.5+C0*f_dc,
+ * quat normalized then *128+128. Counterpart of the reference viewer's
+ * PlyLoader (webui/src/loaders/PlyLoader.js); SH rest bands are dropped —
+ * the .splat record is degree-0 by design. */
+export function plyToSplat(data) {
+  const headBytes = new Uint8Array(data, 0, Math.min(data.byteLength, 65536));
+  const headText = new TextDecoder().decode(headBytes);
+  const endTag = "end_header\n";
+  const hEnd = headText.indexOf(endTag);
+  if (hEnd < 0) throw new Error("ply: header end not found");
+  const header = headText.slice(0, hEnd);
+  if (!/format binary_little_endian/.test(header))
+    throw new Error("ply: only binary_little_endian supported");
+  let n = 0;
+  const props = [];
+  for (const ln of header.split("\n")) {
+    const mv = ln.match(/^element vertex (\d+)/);
+    if (mv) n = parseInt(mv[1], 10);
+    const mp = ln.match(/^property (\w+) (\S+)/);
+    if (mp) props.push([mp[1], mp[2]]);
+  }
+  const SIZE = {float: 4, float32: 4, double: 8, uchar: 1, uint8: 1,
+                char: 1, int8: 1, short: 2, ushort: 2, int: 4, uint: 4};
+  const field = {};
+  let stride = 0;
+  for (const [type, name] of props) {
+    if (!(type in SIZE)) throw new Error(`ply: unsupported type ${type}`);
+    field[name] = {off: stride, type};
+    stride += SIZE[type];
+  }
+  const dv = new DataView(data, hEnd + endTag.length);
+  const get = (name, i) => {
+    const f = field[name];
+    if (!f) return 0;
+    const o = i * stride + f.off;
+    switch (f.type) {
+      case "float": case "float32": return dv.getFloat32(o, true);
+      case "double": return dv.getFloat64(o, true);
+      case "uchar": case "uint8": return dv.getUint8(o);
+      case "char": case "int8": return dv.getInt8(o);
+      case "short": return dv.getInt16(o, true);
+      case "ushort": return dv.getUint16(o, true);
+      case "uint": return dv.getUint32(o, true);
+      default: return dv.getInt32(o, true);
+    }
+  };
+  const C0 = 0.28209479177387814;
+  const out = new ArrayBuffer(n * 32);
+  const fv = new Float32Array(out), bv = new Uint8Array(out);
+  const clamp255 = (x) => Math.max(0, Math.min(255, Math.round(x)));
+  for (let i = 0; i < n; i++) {
+    fv[i * 8] = get("x", i);
+    fv[i * 8 + 1] = get("y", i);
+    fv[i * 8 + 2] = get("z", i);
+    for (let k = 0; k < 3; k++) {
+      fv[i * 8 + 3 + k] = Math.exp(get("scale_" + k, i));
+      bv[i * 32 + 24 + k] = clamp255((0.5 + C0 * get("f_dc_" + k, i)) * 255);
+    }
+    bv[i * 32 + 27] = clamp255(255 / (1 + Math.exp(-get("opacity", i))));
+    const q = [get("rot_0", i), get("rot_1", i),
+               get("rot_2", i), get("rot_3", i)];
+    const l = Math.hypot(q[0], q[1], q[2], q[3]) || 1;
+    for (let k = 0; k < 4; k++)
+      bv[i * 32 + 28 + k] = clamp255((q[k] / l) * 128 + 128);
+  }
+  return out;
 }
 
 /* -- minimal column-major mat4 helpers ----------------------------------- */
