@@ -684,6 +684,10 @@ class ScaffoldGSTrainer:
                 radii=out.radii,
                 neural_opacity=aux["neural_opacity"],
                 visible=visible & alive,
+                # Bin-saturation telemetry, same no-silent-caps contract as
+                # the GS trainer (trainer.py _react_to_bin_saturation).
+                bin_pool_truncated=out.bin_pool_truncated,
+                bin_dropped=out.bin_dropped,
             )
             return loss, raux
 
@@ -736,7 +740,12 @@ class ScaffoldGSTrainer:
                 offset_denom=state.offset_denom
                 + w * upd_filter.astype(jnp.float32),
             )
-            return new_state, {"loss": loss, "psnr": aux["psnr"]}
+            return new_state, {
+                "loss": loss,
+                "psnr": aux["psnr"],
+                "bin_pool_truncated": aux["bin_pool_truncated"],
+                "bin_dropped": aux["bin_dropped"],
+            }
 
         return jax.jit(step_fn, donate_argnums=(0,))
 

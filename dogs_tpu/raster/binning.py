@@ -37,6 +37,9 @@ class TileBins:
     num_valid: jnp.ndarray  # () total valid entries (diagnostics)
     num_truncated: jnp.ndarray  # () gaussians whose rect exceeded the budget
     num_pool_truncated: jnp.ndarray  # () gaussians dropped by pool exhaustion
+    # () overflow-pool slots DEMANDED (may exceed the pool: utilization
+    # telemetry for the trainer's budget shrink reaction).
+    num_pool_need: jnp.ndarray
 
 
 def _tile_rect(
@@ -206,6 +209,7 @@ def build_tile_bins(
     num_valid = jnp.sum(valid.astype(jnp.int32))
     num_truncated = jnp.sum(truncated.astype(jnp.int32))
     num_pool_truncated = jnp.int32(0)
+    num_pool_need = jnp.int32(0)
 
     if two_tier:
         # ---- tier B: shared overflow pool ---------------------------------
@@ -279,6 +283,7 @@ def build_tile_bins(
         num_pool_truncated = jnp.sum(
             ((pstart + need) > pool) & (need > 0)
         ).astype(jnp.int32)
+        num_pool_need = total.astype(jnp.int32)
 
     # Sort ALL candidates (invalid ones carry the sentinel tile and land at
     # the end), then keep the first bin_capacity. Measured on v5e this beats
@@ -300,6 +305,7 @@ def build_tile_bins(
         num_valid=num_valid,
         num_truncated=num_truncated,
         num_pool_truncated=num_pool_truncated,
+        num_pool_need=num_pool_need,
     )
 
 

@@ -35,6 +35,7 @@ class RenderOutput:
     bin_rect_truncated: jnp.ndarray | None = None  # () gaussians rect-clamped
     bin_pool_truncated: jnp.ndarray | None = None  # () gaussians past the pool
     bin_dropped: jnp.ndarray | None = None  # () valid entries cut by capacity
+    bin_pool_need: jnp.ndarray | None = None  # () pool slots demanded
 
 
 def render_reference(

@@ -690,4 +690,5 @@ def render_tiled(
         bin_rect_truncated=bins.num_truncated,
         bin_pool_truncated=bins.num_pool_truncated,
         bin_dropped=dropped,
+        bin_pool_need=bins.num_pool_need,
     )

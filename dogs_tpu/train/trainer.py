@@ -136,6 +136,16 @@ class TrainerConfig:
     # loudly; "ignore": warn only. SURVEY rule: no silent caps.
     on_bin_saturation: str = "grow"
     bin_growth_factor: float = 1.5
+    # Budget SHRINK reaction (r5 densify-phase attack): auto-grown budgets
+    # are a ratchet — the early-densify demand spike leaves the steady state
+    # paying an oversized binning sort for the rest of the run. When "grow"
+    # mode sees bin_shrink_patience consecutive log windows whose peak
+    # demand (bin_valid / bin_pool_need window maxes) would still fit after
+    # one shrink step with bin_shrink_margin headroom, budgets step back
+    # down by bin_growth_factor — never below the configured initial values.
+    # 0 disables.
+    bin_shrink_patience: int = 3
+    bin_shrink_margin: float = 1.15
     # device profiling (SURVEY §5.1): capture a jax.profiler trace for
     # profile_num_steps steps starting at profile_start_step; view with
     # tensorboard --logdir <profile_dir> or xprof. 0 = disabled.
@@ -354,6 +364,7 @@ def make_train_step(
             bin_rect_truncated=out.bin_rect_truncated,
             bin_pool_truncated=out.bin_pool_truncated,
             bin_dropped=out.bin_dropped,
+            bin_pool_need=out.bin_pool_need,
         )
         return loss, aux
 
@@ -477,6 +488,7 @@ def make_train_step(
             bin_rect_truncated=aux["bin_rect_truncated"],
             bin_pool_truncated=aux["bin_pool_truncated"],
             bin_dropped=aux["bin_dropped"],
+            bin_pool_need=aux["bin_pool_need"],
         )
         return new_ts, metrics
 
@@ -515,7 +527,10 @@ def make_chained_train_step(
 
         ts, ms = jax.lax.scan(body, ts, (cameras, gts))
         out = jax.tree.map(lambda a: a[-1], ms)
-        for key in ("bin_pool_truncated", "bin_dropped"):
+        # Saturation counters AND utilization report the chunk max: mid-chunk
+        # truncation can't hide, and the shrink reaction sees peak demand.
+        for key in ("bin_pool_truncated", "bin_dropped", "bin_valid",
+                    "bin_pool_need"):
             out[key] = jnp.max(ms[key])
         return ts, out
 
@@ -642,6 +657,14 @@ class GaussianSplatTrainer:
         # scenes streaming thousands of images from disk don't pin HBM.
         self._gt_cache: "OrderedDict[tuple, jnp.ndarray]" = OrderedDict()
         self._gt_cache_bytes = 0
+        # Budget shrink bookkeeping: auto-grow may ratchet budgets up past
+        # the configured values; the shrink reaction steps them back down
+        # to (at lowest) these configured floors.
+        self._initial_budgets = (
+            raster_cfg.bin_capacity or 0,
+            raster_cfg.overflow_capacity or 0,
+        )
+        self._shrink_windows = 0
 
     # ---- jit-cache helpers -------------------------------------------------
     def _get_step_fn(self, active_sh_degree: int):
@@ -727,7 +750,9 @@ class GaussianSplatTrainer:
         pool_t = int(m.get("bin_pool_truncated", 0) or 0)
         dropped = int(m.get("bin_dropped", 0) or 0)
         if pool_t <= 0 and dropped <= 0:
+            self._maybe_shrink_budgets(m)
             return
+        self._shrink_windows = 0
         msg = (
             f"tile-bin saturation: pool_truncated={pool_t} "
             f"dropped_entries={dropped} valid={int(m.get('bin_valid', 0))}"
@@ -750,6 +775,48 @@ class GaussianSplatTrainer:
             self.raster_cfg = dataclasses.replace(rc, **changed)
             self._step_cache.clear()
             logger.warning("grew bin budgets: %s", changed)
+
+    def _maybe_shrink_budgets(self, m: dict):
+        """Step auto-grown budgets back down once the demand spike passes
+        (the early-densify transient otherwise ratchets the binning sort to
+        its peak size for the whole run — measured 3.75M capacity against a
+        ~1.6M steady demand on the densify bench). Shrinks one
+        bin_growth_factor step after bin_shrink_patience consecutive
+        underutilized log windows; floors at the configured initial budgets
+        so user-oversized configs are respected."""
+        cfg, rc = self.cfg, self.raster_cfg
+        if (
+            cfg.on_bin_saturation != "grow"
+            or cfg.bin_shrink_patience <= 0
+            or "bin_valid" not in m
+        ):
+            return
+        floors = self._initial_budgets
+        f, margin = cfg.bin_growth_factor, cfg.bin_shrink_margin
+        want = {}
+        if rc.bin_capacity is not None and rc.bin_capacity > floors[0]:
+            target = max(int(rc.bin_capacity / f), floors[0])
+            if float(m["bin_valid"]) * margin <= target:
+                want["bin_capacity"] = target
+        pool_need = m.get("bin_pool_need")
+        if (
+            pool_need is not None
+            and rc.overflow_capacity
+            and rc.overflow_capacity > floors[1]
+        ):
+            target = max(int(rc.overflow_capacity / f), floors[1])
+            if float(pool_need) * margin <= target:
+                want["overflow_capacity"] = target
+        if not want:
+            self._shrink_windows = 0
+            return
+        self._shrink_windows += 1
+        if self._shrink_windows < cfg.bin_shrink_patience:
+            return
+        self._shrink_windows = 0
+        self.raster_cfg = dataclasses.replace(rc, **want)
+        self._step_cache.clear()
+        logger.info("shrank bin budgets after demand spike passed: %s", want)
 
     def _maybe_reset_opacity(self, step: int):
         cfg = self.cfg
@@ -896,7 +963,8 @@ class GaussianSplatTrainer:
         # window (as lazy device maxes — no per-chunk host sync), so a
         # transient overflow in a chunk that doesn't end on a log step
         # still reaches _react_to_bin_saturation.
-        sat_accum = {"bin_pool_truncated": None, "bin_dropped": None}
+        sat_accum = {"bin_pool_truncated": None, "bin_dropped": None,
+                     "bin_valid": None, "bin_pool_need": None}
         tracing = False
         trace_until = 0
         step = start_step

@@ -280,6 +280,58 @@ def test_bin_saturation_telemetry_and_growth(scene):
     assert tr.raster_cfg.overflow_capacity > 8
 
 
+def test_bin_budget_shrink_after_spike(scene):
+    """r5 densify-phase attack: auto-grown budgets step back down once the
+    demand spike passes (bin_shrink_patience consecutive underutilized log
+    windows), floor at the configured initial budgets, and reset patience
+    on any saturation window. Pure host logic — fed synthetic metrics."""
+    import dataclasses
+
+    cfg = TrainerConfig(
+        max_iterations=100, densify_start_iter=10**9, min_capacity=64,
+        on_bin_saturation="grow", bin_growth_factor=1.5,
+        bin_shrink_patience=3, bin_shrink_margin=1.15,
+    )
+    base = dataclasses.replace(
+        RASTER, bin_capacity=1_000_000, overflow_capacity=1_000_000
+    )
+    tr = GaussianSplatTrainer(
+        cameras=scene.cameras[:2], images=scene.images[:2],
+        points=scene.points, colors=scene.colors, cfg=cfg, raster_cfg=base,
+    )
+    # Simulate the auto-grow ratchet: two growth steps -> 2.25M budgets.
+    tr.raster_cfg = dataclasses.replace(
+        tr.raster_cfg, bin_capacity=2_250_000, overflow_capacity=2_250_000
+    )
+    quiet = {"bin_pool_truncated": 0, "bin_dropped": 0,
+             "bin_valid": 500_000, "bin_pool_need": 600_000}
+    # Two quiet windows: not yet (patience 3).
+    tr._react_to_bin_saturation(dict(quiet))
+    tr._react_to_bin_saturation(dict(quiet))
+    assert tr.raster_cfg.bin_capacity == 2_250_000
+    # A saturated window GROWS (the existing reaction) and resets patience.
+    tr._react_to_bin_saturation({**quiet, "bin_dropped": 5})
+    assert tr.raster_cfg.bin_capacity == 3_375_000
+    tr._react_to_bin_saturation(dict(quiet))
+    tr._react_to_bin_saturation(dict(quiet))
+    assert tr.raster_cfg.bin_capacity == 3_375_000
+    # Third consecutive quiet window: one shrink step on both budgets.
+    tr._react_to_bin_saturation(dict(quiet))
+    assert tr.raster_cfg.bin_capacity == 2_250_000
+    assert tr.raster_cfg.overflow_capacity == 1_500_000
+    # Keep going: floors at the configured initial budgets, then stays.
+    for _ in range(9):
+        tr._react_to_bin_saturation(dict(quiet))
+    assert tr.raster_cfg.bin_capacity == 1_000_000
+    assert tr.raster_cfg.overflow_capacity == 1_000_000
+    # Demand too close to the post-shrink size: no shrink below demand.
+    tr.raster_cfg = dataclasses.replace(tr.raster_cfg, bin_capacity=1_500_000)
+    busy = {**quiet, "bin_valid": 1_100_000}  # 1.1M * 1.15 > 1.0M target
+    for _ in range(4):
+        tr._react_to_bin_saturation(dict(busy))
+    assert tr.raster_cfg.bin_capacity == 1_500_000
+
+
 def test_bin_saturation_error_mode(scene):
     import dataclasses
 
