@@ -665,6 +665,9 @@ class GaussianSplatTrainer:
             raster_cfg.overflow_capacity or 0,
         )
         self._shrink_windows = 0
+        # Densify overflow device scalars awaiting a lazy host check (drained
+        # at the log cadence; see _maybe_densify).
+        self._pending_overflow: list = []
 
     # ---- jit-cache helpers -------------------------------------------------
     def _get_step_fn(self, active_sh_degree: int):
@@ -740,8 +743,24 @@ class GaussianSplatTrainer:
         self.state = self.state.replace(
             model=new_model, opt=zero_moments_at(self.state.opt, allocated)
         )
-        if int(overflow) > 0:
-            logger.warning("densify overflow: %d candidates dropped", int(overflow))
+        # Deferred check: with the required_slots pre-grow above, overflow is
+        # 0 in the normal path — fetching it here would add a second
+        # host<->device roundtrip per densify event (the tunnel RTT bills
+        # per sync, not per byte). Keep the device scalar and settle it at
+        # the log cadence alongside the bin-saturation counters.
+        self._pending_overflow.append(overflow)
+        if len(self._pending_overflow) >= 32:
+            # Callers driving train_iteration directly (no log cadence)
+            # still get the check; old scalars are long computed, so the
+            # int() here costs no pipeline drain.
+            self._drain_overflow()
+
+    def _drain_overflow(self):
+        for ov in self._pending_overflow:
+            ov = int(ov)
+            if ov > 0:
+                logger.warning("densify overflow: %d candidates dropped", ov)
+        self._pending_overflow.clear()
 
     def _react_to_bin_saturation(self, m: dict):
         """No silent caps (SURVEY §7): when the overflow pool exhausts or
@@ -1004,6 +1023,7 @@ class GaussianSplatTrainer:
                 tracing = False
                 logger.info("profiler trace written to %s", self.cfg.profile_dir)
             if log_every and step % log_every == 0:
+                self._drain_overflow()
                 m = {k: float(v) for k, v in metrics.items()}
                 m["iters_per_sec"] = (step - start_step) / (time.time() - t0)
                 m["step"] = step
@@ -1030,6 +1050,7 @@ class GaussianSplatTrainer:
                 self.save_checkpoint(checkpoint_manager)
         if tracing:
             jax.profiler.stop_trace()
+        self._drain_overflow()
         return metrics
 
     # ---- checkpointing --------------------------------------------------------
