@@ -81,8 +81,23 @@ def discover_models(models_dir: str | os.PathLike) -> dict[str, Path]:
             continue
         rel = p.relative_to(root)
         out["__".join(rel.parts)] = p
+    # GaussianSplats3D .ksplat containers (ids keep their suffix; converted
+    # client-side, mirroring webui/src/loaders/ksplat/KSplatLoader.js).
+    for p in sorted(root.rglob("*.ksplat")):
+        rel = p.relative_to(root)
+        out["__".join(rel.parts)] = p
     _discover_cache[key] = (now, out)
     return out
+
+
+def _ksplat_splat_count(path: Path) -> int:
+    """Total splat count from the 4096-byte .ksplat file header (u32[4])."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(20)
+        return int.from_bytes(head[16:20], "little") if len(head) >= 20 else 0
+    except OSError:
+        return 0
 
 
 def _ply_vertex_count(path: Path) -> int:
@@ -178,6 +193,7 @@ class ViewerHandler(BaseHTTPRequestHandler):
         out = []
         for mid, p in models.items():
             n = (_ply_vertex_count(p) if p.suffix == ".ply"
+                 else _ksplat_splat_count(p) if p.suffix == ".ksplat"
                  else p.stat().st_size // 32)
             entry = {"id": mid, "bytes": p.stat().st_size, "splats": n}
             m = meta.get(mid)

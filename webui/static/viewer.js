@@ -144,10 +144,14 @@ export class SplatViewer {
 
   /* data: ArrayBuffer of 32-byte splat records (possibly a progressive
    * prefix — exports are importance-sorted so prefixes are viewable), OR a
-   * standard 3DGS .ply (detected by magic, converted in plyToSplat). */
-  setData(data) {
+   * standard 3DGS .ply (detected by magic, converted in plyToSplat), OR a
+   * GaussianSplats3D .ksplat (detected by the `name` hint / structural
+   * sniff, converted in ksplatToSplat). */
+  setData(data, name) {
     const m = new Uint8Array(data, 0, Math.min(4, data.byteLength));
     if (m[0] === 112 && m[1] === 108 && m[2] === 121) data = plyToSplat(data);
+    else if ((name && name.endsWith(".ksplat")) || sniffKsplat(data))
+      data = ksplatToSplat(data);
     this.raw = new Uint8Array(data.slice(0, data.byteLength & ~31));
     this.count = this.raw.byteLength >> 5;
     const f = new Float32Array(this.raw.buffer, 0, this.count * 8);
@@ -352,6 +356,131 @@ export function plyToSplat(data) {
     const l = Math.hypot(q[0], q[1], q[2], q[3]) || 1;
     for (let k = 0; k < 4; k++)
       bv[i * 32 + 28 + k] = clamp255((q[k] / l) * 128 + 128);
+  }
+  return out;
+}
+
+/* -- .ksplat ingestion ----------------------------------------------------
+ * GaussianSplats3D container format (reference webui/src/loaders/ksplat/
+ * KSplatLoader.js + SplatBuffer.js): 4096-byte file header, maxSectionCount
+ * x 1024-byte section headers, then per-section [partial-bucket lengths |
+ * bucket centers | splat records]. Three compression levels: 0 = f32
+ * center/scale/rotation; 1 = uint16 bucket-relative centers + half-float
+ * scale/rotation; 2 = level 1 with uint8 SH. Decodes to the viewer's
+ * 32-byte degree-0 records (SH bands beyond DC are dropped, like the .ply
+ * path). Color is stored post-activation RGBA u8 in all levels. */
+const KSPLAT_LV = {
+  0: {scaleOff: 12, colorOff: 40, scaleRange: 1,
+      bytes: (c) => 12 + 12 + 16 + 4 + 4 * c},
+  1: {scaleOff: 6, colorOff: 20, scaleRange: 32767,
+      bytes: (c) => 6 + 6 + 8 + 4 + 2 * c},
+  2: {scaleOff: 6, colorOff: 20, scaleRange: 32767,
+      bytes: (c) => 6 + 6 + 8 + 4 + 1 * c},
+};
+
+function sniffKsplat(data) {
+  if (data.byteLength < 4096 + 1024) return false;
+  const u8 = new Uint8Array(data, 0, 24);
+  const u32 = new Uint32Array(data, 0, 6);
+  const u16 = new Uint16Array(data, 0, 12);
+  const lvl = u16[10];
+  // version 0.x, sane section/splat counts, known compression level.
+  return u8[0] === 0 && u8[1] >= 1 && u32[1] > 0 && u32[1] <= 1024 &&
+         u32[2] > 0 && u32[2] <= u32[1] && u32[4] > 0 && lvl <= 2;
+}
+
+function halfToFloat(h) {
+  const s = (h & 0x8000) ? -1 : 1, e = (h >> 10) & 0x1f, m = h & 0x3ff;
+  if (e === 0) return s * m * 2 ** -24;
+  if (e === 31) return m ? NaN : s * Infinity;
+  return s * (1 + m / 1024) * 2 ** (e - 15);
+}
+
+export function ksplatToSplat(data) {
+  const u16 = new Uint16Array(data, 0, 2048);
+  const u32 = new Uint32Array(data, 0, 1024);
+  const maxSections = u32[1];
+  const sections = u32[2];
+  const totalSplats = u32[4];
+  const lvl = u16[10];
+  const L = KSPLAT_LV[lvl];
+  if (!L) throw new Error(`ksplat: unknown compression level ${lvl}`);
+  const shComps = (deg) => (deg === 0 ? 0 : deg === 1 ? 9 : 24);
+
+  const out = new ArrayBuffer(totalSplats * 32);
+  const fv = new Float32Array(out), bv = new Uint8Array(out);
+  const clamp255 = (x) => Math.max(0, Math.min(255, Math.round(x)));
+
+  let sectionBase = 4096 + maxSections * 1024;
+  let o = 0; // global output splat index
+  for (let s = 0; s < sections && o < totalSplats; s++) {
+    const su32 = new Uint32Array(data, 4096 + s * 1024, 256);
+    const sf32 = new Float32Array(data, 4096 + s * 1024, 256);
+    const su16 = new Uint16Array(data, 4096 + s * 1024, 512);
+    const maxSplat = su32[1];
+    const bucketSize = su32[2];
+    const bucketCount = su32[3];
+    const bucketBlockSize = sf32[4];
+    const bucketBytes = su16[10];
+    const csr = su32[6] || L.scaleRange;
+    const fullBuckets = su32[8];
+    const partBuckets = su32[9];
+    const shDeg = su16[20];
+    const comps = shComps(shDeg);
+    const bytesPerSplat = L.bytes(comps);
+    const metaBytes = partBuckets * 4;
+    const partLens = new Uint32Array(data, sectionBase, partBuckets);
+    const buckets = new Float32Array(
+      data, sectionBase + metaBytes, (bucketBytes * bucketCount) >> 2);
+    const dataBase = sectionBase + metaBytes + bucketBytes * bucketCount;
+    const csf = (bucketBlockSize / 2) / csr;
+    const nHere = Math.min(maxSplat, totalSplats - o);
+
+    // bucket index per local splat: full buckets first, then the
+    // partially-filled tail (SplatBuffer.getBucketIndex).
+    let tailStart = fullBuckets * bucketSize;
+    let tailBucket = fullBuckets, tailIdx = 0, tailEnd = tailStart +
+      (partBuckets ? partLens[0] : 0);
+
+    const dv = new DataView(data);
+    for (let i = 0; i < nHere; i++, o++) {
+      const base = dataBase + i * bytesPerSplat;
+      let x, y, z;
+      if (lvl === 0) {
+        x = dv.getFloat32(base, true);
+        y = dv.getFloat32(base + 4, true);
+        z = dv.getFloat32(base + 8, true);
+      } else {
+        let b;
+        if (i < tailStart) b = (i / bucketSize) | 0;
+        else {
+          while (i >= tailEnd && tailIdx + 1 < partBuckets) {
+            tailBucket++; tailIdx++;
+            tailEnd += partLens[tailIdx];
+          }
+          b = tailBucket;
+        }
+        x = (dv.getUint16(base, true) - csr) * csf + buckets[b * 3];
+        y = (dv.getUint16(base + 2, true) - csr) * csf + buckets[b * 3 + 1];
+        z = (dv.getUint16(base + 4, true) - csr) * csf + buckets[b * 3 + 2];
+      }
+      fv[o * 8] = x; fv[o * 8 + 1] = y; fv[o * 8 + 2] = z;
+      // scale (floats 0-2) + rotation (floats 3-6, w first) share one view
+      // base at scaleOff (SplatBuffer.getSplatScaleAndRotation).
+      const sb = base + L.scaleOff;
+      const rd = lvl === 0
+        ? (j) => dv.getFloat32(sb + j * 4, true)
+        : (j) => halfToFloat(dv.getUint16(sb + j * 2, true));
+      fv[o * 8 + 3] = rd(0); fv[o * 8 + 4] = rd(1); fv[o * 8 + 5] = rd(2);
+      const q = [rd(3), rd(4), rd(5), rd(6)]; // (w, x, y, z)
+      const ql = Math.hypot(q[0], q[1], q[2], q[3]) || 1;
+      for (let k = 0; k < 4; k++)
+        bv[o * 32 + 28 + k] = clamp255((q[k] / ql) * 128 + 128);
+      for (let k = 0; k < 4; k++)
+        bv[o * 32 + 24 + k] = dv.getUint8(base + L.colorOff + k);
+    }
+    sectionBase += bytesPerSplat * maxSplat + metaBytes +
+      bucketBytes * bucketCount;
   }
   return out;
 }
