@@ -351,6 +351,7 @@ class MasterTrainer:
         # image-shape) bucket — cache keyed on (degree, pool), the rest
         # keys jit itself.
         self._train_steps: dict[tuple, object] = {}
+        self._last_overflow = None  # stale across phase boundaries
         self.consensus_step = make_consensus_step(
             self.mesh, self.n_global, self.admm_cfg
         )
@@ -649,16 +650,31 @@ class MasterTrainer:
         from dogs_tpu.core.gaussians import round_up_capacity
         from dogs_tpu.fields.model import required_slots
 
-        need = jax.vmap(
-            lambda m: required_slots(
-                m, self.cfg.densify_grad_threshold, self.cfg.percent_dense,
-                self.spatial_lr_scale,
-            )
-        )(self.state.train.model)
-        max_need = int(jnp.max(need))
-        if max_need > 0:
-            cap = self.state.train.model.params.xyz.shape[1]
-            self._grow_blocks(round_up_capacity(cap + max_need))
+        if self.cfg.reactive_capacity_growth:
+            # Same protocol as the single-device trainer: no pipeline-
+            # draining pre-fetch; the previous event's overflow (computed a
+            # whole interval ago) is the growth signal.
+            prev = getattr(self, "_last_overflow", None)
+            ov = int(jnp.max(prev)) if prev is not None else 0
+            if ov > 0:
+                cap = self.state.train.model.params.xyz.shape[1]
+                new_cap = round_up_capacity(cap + ov)
+                logger.info(
+                    "reactive block capacity growth %d -> %d "
+                    "(%d dropped last event)", cap, new_cap, ov,
+                )
+                self._grow_blocks(new_cap)
+        else:
+            need = jax.vmap(
+                lambda m: required_slots(
+                    m, self.cfg.densify_grad_threshold, self.cfg.percent_dense,
+                    self.spatial_lr_scale,
+                )
+            )(self.state.train.model)
+            max_need = int(jnp.max(need))
+            if max_need > 0:
+                cap = self.state.train.model.params.xyz.shape[1]
+                self._grow_blocks(round_up_capacity(cap + max_need))
 
         b = self.state.slot_map.shape[0]
         self.jax_key, sub = jax.random.split(self.jax_key)
@@ -671,9 +687,16 @@ class MasterTrainer:
         self.state = self.state.replace(
             train=self.state.train.replace(model=new_model, opt=opt)
         )
-        total_overflow = int(jnp.sum(overflow))
-        if total_overflow > 0:  # pragma: no cover - capacity growth prevents it
-            logger.warning("block densify overflow: %d dropped", total_overflow)
+        # Deferred settle (per-event device fetches bill tunnel RTT): keep
+        # the overflow vector; reactive mode reads it at the NEXT event as
+        # its growth signal, and in sync mode it only backs the warning.
+        if not self.cfg.reactive_capacity_growth:
+            prev = getattr(self, "_last_overflow", None)
+            if prev is not None and int(jnp.sum(prev)) > 0:
+                logger.warning(  # pragma: no cover - pre-grow prevents it
+                    "block densify overflow: %d dropped", int(jnp.sum(prev))
+                )
+        self._last_overflow = overflow
 
     def fuse_and_enable_admm(self):
         """The one-time fusion phase boundary (master:557-618)."""

@@ -146,6 +146,17 @@ class TrainerConfig:
     # 0 disables.
     bin_shrink_patience: int = 3
     bin_shrink_margin: float = 1.15
+    # Reactive capacity growth: skip the per-event required_slots fetch (a
+    # host<->device sync that drains the dispatch pipeline — through the
+    # remote-TPU tunnel that is most of a densify event's cost) and instead
+    # densify into the current capacity, checking the PREVIOUS event's
+    # overflow scalar (long computed by then, so reading it drains nothing)
+    # to grow a pow2 bucket when candidates were dropped. Deviation from the
+    # reference's grow-first protocol: under capacity pressure a clone/split
+    # can be delayed by one densification_interval (its grad stats rebuild
+    # and it re-qualifies next event); every drop is logged. False restores
+    # the synchronous pre-grow.
+    reactive_capacity_growth: bool = True
     # device profiling (SURVEY §5.1): capture a jax.profiler trace for
     # profile_num_steps steps starting at profile_start_step; view with
     # tensorboard --logdir <profile_dir> or xprof. 0 = disabled.
@@ -666,8 +677,10 @@ class GaussianSplatTrainer:
         )
         self._shrink_windows = 0
         # Densify overflow device scalars awaiting a lazy host check (drained
-        # at the log cadence; see _maybe_densify).
+        # at the log cadence; see _maybe_densify). _last_overflow holds the
+        # most recent event's scalar as the reactive-growth signal.
         self._pending_overflow: list = []
+        self._last_overflow = None
 
     # ---- jit-cache helpers -------------------------------------------------
     def _get_step_fn(self, active_sh_degree: int):
@@ -715,18 +728,33 @@ class GaussianSplatTrainer:
             return
         if step % cfg.densification_interval != 0:
             return
-        need = int(
-            _required_slots_jit(
-                self.state.model,
-                cfg.densify_grad_threshold,
-                cfg.percent_dense,
-                self.spatial_lr_scale,
+        if cfg.reactive_capacity_growth:
+            # Settle the previous event's overflow (no pipeline drain: its
+            # value finished computing ~an interval ago) and grow a bucket
+            # when allocation ran dry, so this event has room.
+            ov = int(self._last_overflow) if self._last_overflow is not None else 0
+            if ov > 0:
+                new_cap = round_up_capacity(self.state.model.capacity + ov)
+                logger.info(
+                    "reactive capacity growth %d -> %d (%d dropped last event)",
+                    self.state.model.capacity, new_cap, ov,
+                )
+                self.state = grow_capacity(self.state, new_cap)
+        else:
+            need = int(
+                _required_slots_jit(
+                    self.state.model,
+                    cfg.densify_grad_threshold,
+                    cfg.percent_dense,
+                    self.spatial_lr_scale,
+                )
             )
-        )
-        if need > 0:
-            new_cap = round_up_capacity(self.state.model.capacity + need)
-            logger.info("growing capacity %d -> %d", self.state.model.capacity, new_cap)
-            self.state = grow_capacity(self.state, new_cap)
+            if need > 0:
+                new_cap = round_up_capacity(self.state.model.capacity + need)
+                logger.info(
+                    "growing capacity %d -> %d", self.state.model.capacity, new_cap
+                )
+                self.state = grow_capacity(self.state, new_cap)
         size_threshold = (
             cfg.size_threshold if step > cfg.opacity_reset_interval else None
         )
@@ -743,11 +771,12 @@ class GaussianSplatTrainer:
         self.state = self.state.replace(
             model=new_model, opt=zero_moments_at(self.state.opt, allocated)
         )
-        # Deferred check: with the required_slots pre-grow above, overflow is
-        # 0 in the normal path — fetching it here would add a second
-        # host<->device roundtrip per densify event (the tunnel RTT bills
-        # per sync, not per byte). Keep the device scalar and settle it at
-        # the log cadence alongside the bin-saturation counters.
+        # Deferred check: fetching overflow here would add a host<->device
+        # roundtrip per densify event (the tunnel RTT bills per sync, not
+        # per byte). Keep the device scalar: reactive mode reads it at the
+        # NEXT event as its growth signal (_last_overflow, never cleared by
+        # the log drain); the log cadence settles the warning either way.
+        self._last_overflow = overflow
         self._pending_overflow.append(overflow)
         if len(self._pending_overflow) >= 32:
             # Callers driving train_iteration directly (no log cadence)

@@ -461,3 +461,37 @@ def test_partition_point_bounds_cover_content():
         )
     assert in_pts2.mean() > 0.995, in_pts2.mean()
     assert in_cam2.mean() < 0.5, in_cam2.mean()
+
+
+def test_reactive_capacity_growth(scene):
+    """Reactive growth (TrainerConfig.reactive_capacity_growth): densify
+    events never pre-fetch required_slots; when an event's allocation runs
+    dry the NEXT event grows a pow2 bucket from the recorded overflow and
+    the delayed candidates land then. Bar: capacity grows past its initial
+    bucket within a few events and the cloud actually densifies."""
+    cfg = TrainerConfig(
+        max_iterations=200, densify_start_iter=1, densify_end_iter=10**6,
+        densification_interval=5, densify_grad_threshold=0.0,  # clone all
+        opacity_reset_interval=10**6, min_capacity=64,
+        reactive_capacity_growth=True,
+    )
+    tr = GaussianSplatTrainer(
+        cameras=scene.cameras[:5], images=scene.images[:5],
+        points=scene.points, colors=scene.colors,
+        cfg=cfg, raster_cfg=RASTER,
+    )
+    cap0 = tr.state.model.capacity
+    n0 = int(tr.state.model.num_alive)
+    tr.train(num_iterations=25, log_every=25)
+    assert tr.state.model.capacity > cap0  # grew reactively after a dry event
+    assert int(tr.state.model.num_alive) > n0
+    # The sync pre-grow path still works and reaches the same outcome.
+    cfg2 = cfg.__class__(**{**cfg.__dict__, "reactive_capacity_growth": False})
+    tr2 = GaussianSplatTrainer(
+        cameras=scene.cameras[:5], images=scene.images[:5],
+        points=scene.points, colors=scene.colors,
+        cfg=cfg2, raster_cfg=RASTER,
+    )
+    tr2.train(num_iterations=25, log_every=25)
+    assert tr2.state.model.capacity > cap0
+    assert int(tr2.state.model.num_alive) > n0
