@@ -415,11 +415,14 @@ def bench_densify():
     if "--chain-steps" in sys.argv:
         chain = int(sys.argv[sys.argv.index("--chain-steps") + 1])
     no_events = "--no-events" in sys.argv
+    cadence = 25
+    if "--cadence" in sys.argv:  # reference schedules densify every 100
+        cadence = int(sys.argv[sys.argv.index("--cadence") + 1])
     cfg = TrainerConfig(
         max_iterations=30000,
         densify_start_iter=10**9 if no_events else 1,
         densify_end_iter=10**6,
-        densification_interval=25,
+        densification_interval=cadence,
         opacity_reset_interval=10**6,
         spatial_lr_scale=5.0,
         chain_steps=chain,
@@ -451,16 +454,18 @@ def bench_densify():
     # Warmup absorbs first compiles + the early demand ramp; the timed
     # window still pays every RECURRING densify cost: the host-side
     # grow/prune work and its dispatch breaks.
-    trainer.train(num_iterations=150, log_every=25)
+    warm = max(150, 2 * cadence)
+    timed = max(120, 3 * cadence)  # >=3 events in-window at any cadence
+    trainer.train(num_iterations=warm, log_every=25)
     t0 = time.perf_counter()
-    m = trainer.train(num_iterations=120, log_every=25)
+    m = trainer.train(num_iterations=timed, log_every=25)
     float(m["loss"])
     dt = time.perf_counter() - t0
-    its = 120 / dt
+    its = timed / dt
     print(
         json.dumps(
             {
-                "metric": "densify_cadence25_from500k_1152x864"
+                "metric": f"densify_cadence{cadence}_from500k_1152x864"
                           + ("_noevents" if no_events else ""),
                 "value": round(its, 3),
                 "unit": "iters/sec",
@@ -942,13 +947,18 @@ def bench_quality_admm():
         train_cams, train_imgs, pts, cols, mx, my
     )
 
-    # Same schedule shape as --quality: densify [500, steps//2] (fusion
-    # fires at densify_end_iter), opacity reset off (noise-free teacher —
-    # see bench_quality's measured rationale), SH annealing every 1000.
+    # Same schedule shape as --quality: densify [densify_start, steps//2]
+    # (fusion fires at densify_end_iter), opacity reset off (noise-free
+    # teacher — see bench_quality's measured rationale), SH annealing every
+    # 1000. --densify-start moves the window up for short CPU-sized runs so
+    # densify events still precede fusion inside a single-core wall budget.
+    densify_start = 500
+    if "--densify-start" in sys.argv:
+        densify_start = int(sys.argv[sys.argv.index("--densify-start") + 1])
     cfg = TrainerConfig(
         max_iterations=steps,
         position_lr_max_steps=steps,
-        densify_start_iter=500,
+        densify_start_iter=densify_start,
         densify_end_iter=steps // 2,
         densification_interval=100,
         opacity_reset_interval=10**6,
