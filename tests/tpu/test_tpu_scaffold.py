@@ -30,8 +30,11 @@ from dogs_tpu.raster.tiled import RasterConfig  # noqa: E402
 N_POINTS = 60_000
 
 XLA_CFG = RasterConfig(
-    max_tiles_per_gaussian=12, bin_capacity=1_200_000,
-    base_tiles=4, overflow_capacity=600_000,
+    # Budgets sized for the UNTRAINED decode: fresh anchor MLPs emit wide
+    # covariances, so per-gaussian tile demand far exceeds a converged
+    # model's (first hardware run measured 28.6k truncated at a 600k pool).
+    max_tiles_per_gaussian=12, bin_capacity=2_000_000,
+    base_tiles=4, overflow_capacity=1_200_000,
 )
 PALLAS_CFG = dataclasses.replace(
     XLA_CFG, use_pallas=True, reduce_dtype="f32", pallas_stream=True
