@@ -788,7 +788,9 @@ class ScaffoldGSTrainer:
         for step in range(start + 1, start + n + 1):
             metrics = self.train_iteration(step)
             if log_every and step % log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                # One device transfer per window (sequential float() fetches
+                # bill a tunnel round trip each).
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 m["step"] = step
                 m["iters_per_sec"] = (step - start) / (time.time() - t0)
                 m["n_anchors"] = int(self.state.num_alive)

@@ -544,12 +544,14 @@ class MasterTrainer:
             if self.step < self.admm_cfg.stop_adapt_iter:
                 self.rho = adapt_rho(self.rho, primal, dual, self.admm_cfg)
             metrics = dict(metrics)
-            metrics["primal_xyz"] = float(primal.xyz)
-            metrics["dual_xyz"] = float(dual.xyz)
-        out = {k: float(v) for k, v in metrics.items()}
-        for key, v in sat.items():
-            if v is not None:
-                out[key] = float(v)
+            metrics["primal_xyz"] = primal.xyz
+            metrics["dual_xyz"] = dual.xyz
+        # ONE device transfer per consensus interval (sequential float()
+        # fetches bill a tunnel round trip each).
+        fetched = jax.device_get(
+            {**metrics, **{k: v for k, v in sat.items() if v is not None}}
+        )
+        out = {k: float(v) for k, v in fetched.items()}
         trunc = int(out.get("bin_pool_truncated", 0) + out.get("bin_dropped", 0))
         if trunc > 0:
             logger.warning(

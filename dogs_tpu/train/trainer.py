@@ -1053,12 +1053,17 @@ class GaussianSplatTrainer:
                 logger.info("profiler trace written to %s", self.cfg.profile_dir)
             if log_every and step % log_every == 0:
                 self._drain_overflow()
-                m = {k: float(v) for k, v in metrics.items()}
+                # ONE device transfer for the whole metrics dict: sequential
+                # float() fetches bill a tunnel round trip each (~15/window).
+                fetched = jax.device_get(
+                    {
+                        **metrics,
+                        **{k: v for k, v in sat_accum.items() if v is not None},
+                    }
+                )
+                m = {k: float(v) for k, v in fetched.items()}
                 m["iters_per_sec"] = (step - start_step) / (time.time() - t0)
                 m["step"] = step
-                for key, v in sat_accum.items():
-                    if v is not None:
-                        m[key] = float(v)
                 sat_accum = dict.fromkeys(sat_accum)
                 self.metrics_history.append(m)
                 self._react_to_bin_saturation(m)
